@@ -1,0 +1,59 @@
+"""Evaluate command: ADD(-S) protocol over a dataset split."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from pyrapose_tpu.data.spec import dataset_spec
+from pyrapose_tpu.eval.driver import evaluate_dataset
+from pyrapose_tpu.inference import build_inference_fn
+from pyrapose_tpu.models import ModelConfig, PyraPose
+from pyrapose_tpu.pose import RansacConfig
+from pyrapose_tpu.train.checkpoint import restore_params
+
+
+def run_evaluate(args) -> int:
+    spec = dataset_spec(
+        args.dataset if args.dataset != "synthetic" else "linemod", args.data_path
+    )
+    config = ModelConfig(num_classes=spec.num_classes, backbone=args.backbone)
+    model = PyraPose(config=config)
+
+    if args.snapshot:
+        params, batch_stats = restore_params(args.snapshot)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+    else:
+        import jax.numpy as jnp
+
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, *spec.image_shape, 3), jnp.float32),
+        )
+        print("WARNING: no snapshot given, evaluating random weights")
+
+    ransac = RansacConfig(score_threshold=args.score_threshold)
+    infer = build_inference_fn(model, spec.corners3d, spec.image_shape, ransac)
+
+    if args.dataset == "synthetic":
+        from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
+
+        ds = SyntheticPoseDataset(spec, num_images=64, seed=1)
+
+        def batches():
+            for i in range(0, 64, args.batch_size):
+                yield ds.batch(list(range(i, min(i + args.batch_size, 64))))
+
+    else:
+        from pyrapose_tpu.data.bop import BopDataset
+
+        ds = BopDataset(args.data_path, args.set_name, spec=spec)
+
+        def batches():
+            yield from ds.epoch_batches(args.batch_size, shuffle=False)
+
+    evaluate_dataset(spec, infer, variables, batches(), verbose=True)
+    return 0

@@ -1,0 +1,78 @@
+"""Infer command: image directory -> poses JSON (BOP-style records)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from pyrapose_tpu.data.spec import dataset_spec
+from pyrapose_tpu.inference import build_inference_fn
+from pyrapose_tpu.models import ModelConfig, PyraPose
+from pyrapose_tpu.pose import RansacConfig
+from pyrapose_tpu.train.checkpoint import restore_params
+
+
+def run_infer(args) -> int:
+    spec = dataset_spec(args.dataset, args.data_path)
+    config = ModelConfig(num_classes=spec.num_classes)
+    model = PyraPose(config=config)
+    params, batch_stats = restore_params(args.snapshot)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+
+    ransac = RansacConfig(score_threshold=args.score_threshold)
+    infer = build_inference_fn(model, spec.corners3d, spec.image_shape, ransac)
+
+    paths = sorted(
+        glob.glob(os.path.join(args.image_dir, "*.png"))
+        + glob.glob(os.path.join(args.image_dir, "*.jpg"))
+    )
+    if not paths:
+        print(f"no images found in {args.image_dir}")
+        return 1
+
+    h, w = spec.image_shape
+    cam_single = jnp.asarray(spec.intrinsics, jnp.float32)
+    results = []
+    bs = args.batch_size
+    for i in range(0, len(paths), bs):
+        chunk = paths[i : i + bs]
+        images = []
+        for p in chunk:
+            img = Image.open(p).convert("RGB")
+            if img.size != (w, h):
+                img = img.resize((w, h))
+            images.append(np.asarray(img, np.uint8))
+        # pad the final chunk to full batch for a single compiled shape
+        pad = bs - len(images)
+        batch_imgs = np.stack(images + [images[-1]] * pad)
+        cam = jnp.tile(cam_single, (bs, 1))
+        poses, _ = infer(variables, jnp.asarray(batch_imgs), cam)
+        rot = np.asarray(poses.rot)
+        trans = np.asarray(poses.trans)
+        valid = np.asarray(poses.valid)
+        score = np.asarray(poses.score)
+        for b, path in enumerate(chunk):
+            for c in range(spec.num_classes):
+                if not valid[b, c]:
+                    continue
+                results.append(
+                    {
+                        "image": os.path.basename(path),
+                        "obj_id": int(spec.class_to_obj_id[c]),
+                        "score": float(score[b, c]),
+                        "R": rot[b, c].reshape(-1).tolist(),
+                        "t": trans[b, c].tolist(),
+                    }
+                )
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {len(results)} poses for {len(paths)} images to {args.output}")
+    return 0

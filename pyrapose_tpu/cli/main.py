@@ -1,0 +1,95 @@
+"""CLI: pyrapose {train, evaluate, infer, bench}.
+
+Keeps the reference's command surface (PyraPose-train / PyraPose-evaluate /
+PyraPose-convert-model console scripts, setup.py:57-63, with per-dataset
+subcommands and flags per bin/train.py:268-314, bin/evaluate.py:124-158).
+convert-model has no .h5 graph-surgery equivalent here — checkpoints are
+parameter trees usable by both train and inference graphs — so `infer`
+subsumes it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DATASETS = ("linemod", "occlusion", "ycbv", "tless", "homebrewed", "synthetic")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pyrapose", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train a PyraPose model")
+    t.add_argument("dataset", choices=DATASETS)
+    t.add_argument("data_path", nargs="?", default=None, help="dataset root (omit for synthetic)")
+    t.add_argument("--backbone", default="resnet50")
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--epochs", type=int, default=20)  # reference default, train.py:298
+    t.add_argument("--steps-per-epoch", type=int, default=None)
+    t.add_argument("--lr", type=float, default=1e-5)  # train.py:101
+    t.add_argument("--snapshot-path", default="checkpoints")
+    t.add_argument("--snapshot", default=None, help="checkpoint to resume from")
+    t.add_argument("--image-min-side", type=int, default=480)
+    t.add_argument("--image-max-side", type=int, default=640)
+    t.add_argument("--no-augment", action="store_true")
+    t.add_argument("--freeze-backbone", action="store_true")
+    t.add_argument("--seed", type=int, default=0)
+
+    e = sub.add_parser("evaluate", help="evaluate ADD(-S) on a dataset")
+    e.add_argument("dataset", choices=DATASETS)
+    e.add_argument("data_path", nargs="?", default=None)
+    e.add_argument("snapshot", nargs="?", default=None, help="checkpoint path")
+    e.add_argument("--backbone", default="resnet50")
+    e.add_argument("--set-name", default="val")
+    e.add_argument("--batch-size", type=int, default=8)
+    e.add_argument("--score-threshold", type=float, default=0.5)  # evaluate.py:150
+
+    i = sub.add_parser("infer", help="run inference on images, write poses JSON")
+    i.add_argument("dataset", choices=DATASETS)
+    i.add_argument("image_dir")
+    i.add_argument("snapshot")
+    i.add_argument("--data-path", default=None)
+    i.add_argument("--output", default="poses.json")
+    i.add_argument("--score-threshold", type=float, default=0.5)
+    i.add_argument("--batch-size", type=int, default=8)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    b.add_argument("--batch-size", type=int, default=16)
+    b.add_argument("--iters", type=int, default=20)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        from pyrapose_tpu.cli.train import run_train
+
+        return run_train(args)
+    if args.command == "evaluate":
+        from pyrapose_tpu.cli.evaluate import run_evaluate
+
+        return run_evaluate(args)
+    if args.command == "infer":
+        from pyrapose_tpu.cli.infer import run_infer
+
+        return run_infer(args)
+    if args.command == "bench":
+        import os
+
+        os.environ["BENCH_BATCH"] = str(args.batch_size)
+        os.environ["BENCH_ITERS"] = str(args.iters)
+        import importlib.util
+        import pathlib
+
+        bench = pathlib.Path(__file__).resolve().parents[2] / "bench.py"
+        spec = importlib.util.spec_from_file_location("bench", bench)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

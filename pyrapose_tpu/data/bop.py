@@ -1,0 +1,218 @@
+"""BOP-converted COCO-style dataset loader.
+
+Reads the annotation layout produced by the reference's offline annotation
+tooling (annotation_scripts/annotate_BOP.py) and consumed by its generators
+(preprocessing/linemod.py:37-88, 203-277):
+
+    {root}/annotations/instances_{set}.json     COCO-style index
+    {root}/annotations/models_info.yml          3D box + diameter metadata
+    {root}/images/{set}/{file_name%.png}_rgb.png
+    {root}/images/{set}/{file_name%.png}_mask.png   instance-id mask
+
+Annotation fields: category_id (BOP object id), bbox (xywh), pose
+(7 = xyz + wxyz quaternion, or 6 = xyz + euler for T-LESS,
+preprocessing/tless.py:174-196), mask_id, feature_visibility. Per-image
+intrinsics fx/fy/cx/cy ride on the image records (linemod.py:56-62).
+
+Loader behaviours preserved: train-set visibility filter < 0.5 skips an
+annotation (linemod.py:227-229); poses stored in mm are normalized — here to
+meters, the framework's world unit (the reference normalizes the other way,
+to mm, linemod.py:238-241 — projection and ADD thresholds are consistent
+either way, we choose SI).
+
+Output is the framework's fixed-shape GroundTruth (pipeline.py), with the
+instance-id mask converted to P3-resolution slot indices on the host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+from PIL import Image
+
+from pyrapose_tpu.data.augment import AugmentConfig, augment_sample
+from pyrapose_tpu.data.pipeline import GroundTruth, pad_ground_truth, stack_ground_truth
+from pyrapose_tpu.data.spec import DatasetSpec, dataset_spec
+
+
+def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q / max(np.linalg.norm(q), 1e-12)
+    return np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ],
+        np.float32,
+    )
+
+
+def _euler_to_mat_np(e: np.ndarray) -> np.ndarray:
+    """Static-frame xyz euler (T-LESS pose convention, tless.py:189-196)."""
+    cx, sx = np.cos(e[0]), np.sin(e[0])
+    cy, sy = np.cos(e[1]), np.sin(e[1])
+    cz, sz = np.cos(e[2]), np.sin(e[2])
+    rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (rz @ ry @ rx).astype(np.float32)
+
+
+class BopDataset:
+    """Host-side dataset over a BOP-converted directory."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        set_name: str = "train",
+        spec: DatasetSpec | None = None,
+        name: str = "linemod",
+        max_instances: int = 16,
+        augment: AugmentConfig | None = None,
+        visibility_threshold: float = 0.5,
+        seed: int = 0,
+    ):
+        self.data_dir = data_dir
+        self.set_name = set_name
+        self.max_instances = max_instances
+        self.augment = augment
+        self.visibility_threshold = visibility_threshold
+        self.rng = np.random.default_rng(seed)
+
+        self.spec = spec if spec is not None else dataset_spec(name, data_dir)
+        # BOP object id -> contiguous class label
+        self.obj_to_label = {
+            oid: i for i, oid in enumerate(self.spec.class_to_obj_id)
+        }
+
+        path = os.path.join(data_dir, "annotations", f"instances_{set_name}.json")
+        with open(path) as f:
+            data = json.load(f)
+        self.images = data["images"]
+        self.anns_by_image: dict = defaultdict(list)
+        for ann in data["annotations"]:
+            self.anns_by_image[ann["image_id"]].append(ann)
+
+        h, w = self.spec.image_shape
+        self.p3_shape = ((h + 7) // 8, (w + 7) // 8)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def _image_path(self, info: dict, suffix: str) -> str:
+        base = os.path.join(self.data_dir, "images", self.set_name, info["file_name"])
+        stem, ext = os.path.splitext(base)
+        if suffix == "_mask":
+            return stem + "_mask.png"
+        return stem + suffix + ext
+
+    def _intrinsics(self, info: dict, ann: dict | None = None) -> np.ndarray:
+        if ann is not None and "K" in ann:  # T-LESS per-annotation K
+            k = np.asarray(ann["K"], np.float64).reshape(3, 3)
+            return np.array([k[0, 0], k[1, 1], k[0, 2], k[1, 2]], np.float32)
+        if "fx" in info:
+            return np.array(
+                [info["fx"], info["fy"], info["cx"], info["cy"]], np.float32
+            )
+        return np.asarray(self.spec.intrinsics, np.float32)
+
+    def load_image(self, index: int) -> np.ndarray:
+        """RGB uint8 (the reference loads BGR for Caffe; we keep RGB and use
+        an RGB-ordered mean, data/pipeline.py)."""
+        info = self.images[index]
+        img = Image.open(self._image_path(info, "_rgb")).convert("RGB")
+        return np.asarray(img, np.uint8)
+
+    def load_mask(self, index: int) -> np.ndarray | None:
+        info = self.images[index]
+        path = self._image_path(info, "_mask")
+        if not os.path.exists(path):
+            return None
+        return np.asarray(Image.open(path))
+
+    def _parse_pose(self, pose: list[float]) -> tuple[np.ndarray, np.ndarray]:
+        pose = np.asarray(pose, np.float64)
+        trans = pose[:3]
+        if abs(trans[2]) > 10.0:  # stored in mm -> meters
+            trans = trans / 1000.0
+        if len(pose) == 7:
+            rot = _quat_to_mat_np(pose[3:7])
+        else:
+            rot = _euler_to_mat_np(pose[3:6])
+        return rot, trans.astype(np.float32)
+
+    def sample(self, index: int, augment: bool | None = None) -> tuple[np.ndarray, GroundTruth]:
+        info = self.images[index]
+        image = self.load_image(index)
+        mask_img = self.load_mask(index)
+
+        boxes, rots, transs, labels, mask_ids = [], [], [], [], []
+        cam = self._intrinsics(info)
+        for ann in self.anns_by_image.get(info["id"], []):
+            if (
+                self.set_name == "train"
+                and ann.get("feature_visibility", 1.0) < self.visibility_threshold
+            ):
+                continue
+            oid = ann["category_id"]
+            if oid not in self.obj_to_label:
+                continue
+            x, y, bw, bh = ann["bbox"]
+            rot, trans = self._parse_pose(ann["pose"])
+            boxes.append([x, y, x + bw, y + bh])
+            rots.append(rot)
+            transs.append(trans)
+            labels.append(self.obj_to_label[oid])
+            mask_ids.append(ann.get("mask_id", -1))
+            cam = self._intrinsics(info, ann)
+
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        rots = np.asarray(rots, np.float32).reshape(-1, 3, 3)
+        transs = np.asarray(transs, np.float32).reshape(-1, 3)
+        labels = np.asarray(labels, np.int32).reshape(-1)
+
+        do_aug = self.augment is not None if augment is None else augment
+        if do_aug and len(boxes):
+            image, boxes, transs, mask_img, keep = augment_sample(
+                self.rng, image, boxes, transs, cam, mask_img, self.augment
+            )
+            boxes, rots, transs = boxes[keep], rots[keep], transs[keep]
+            labels = labels[keep]
+            mask_ids = [m for m, k in zip(mask_ids, keep) if k]
+
+        mask_slots = self._mask_to_slots(mask_img, mask_ids)
+        gt = pad_ground_truth(
+            boxes, rots, transs, labels, cam, mask_slots, self.max_instances
+        )
+        return image, gt
+
+    def _mask_to_slots(self, mask_img: np.ndarray | None, mask_ids: list) -> np.ndarray:
+        """Instance-id mask -> P3-resolution slot-index map (-1 background)."""
+        p3h, p3w = self.p3_shape
+        if mask_img is None or not mask_ids:
+            return np.full((p3h * p3w,), -1, np.int32)
+        small = np.asarray(
+            Image.fromarray(mask_img).resize((p3w, p3h), Image.NEAREST)
+        )
+        slots = np.full((p3h, p3w), -1, np.int32)
+        for slot, mid in enumerate(mask_ids[: self.max_instances]):
+            if mid < 0:
+                continue
+            slots[small == mid] = slot
+        return slots.reshape(-1)
+
+    def batch(self, indices: list[int]) -> tuple[np.ndarray, GroundTruth]:
+        images, gts = zip(*(self.sample(i) for i in indices))
+        return np.stack(images), stack_ground_truth(list(gts))
+
+    def epoch_batches(self, batch_size: int, shuffle: bool = True):
+        """Yield (images, gt) batches covering the dataset once."""
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        usable = len(order) - len(order) % batch_size
+        for i in range(0, usable, batch_size):
+            yield self.batch(list(order[i : i + batch_size]))

@@ -1,0 +1,50 @@
+"""Device mesh and sharding layout.
+
+The reference has no working multi-device path (its multi_gpu_model branch is
+dead code, bin/train.py:80-86, 355). The TPU design makes data parallelism
+over ICI the first-class strategy (SURVEY.md section 2.3): a 1-D 'data' mesh
+axis, batch-sharded inputs, replicated parameters, and gradient all-reduce
+inserted automatically by XLA from the sharding annotations — no explicit
+collectives in user code.
+
+A second, optional 'spatial' axis is reserved for sharding the activation
+grid of large imagery (the CNN analogue of sequence parallelism) — halo
+exchange is handled by XLA's conv spatial partitioning when enabled.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(
+    devices: list[Any] | None = None, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dimension across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated across the mesh (parameters, optimizer state)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+    """Place a pytree of host arrays batch-sharded onto the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,66 @@
+"""Checkpoint save/restore via orbax.
+
+Replaces the reference's per-epoch full-model .h5 dumps
+(keras ModelCheckpoint, bin/train.py:128-142) with orbax PyTree checkpoints
+that also carry optimizer state and step — the reference's --snapshot resume
+loses both (SURVEY.md section 5, checkpoint/resume row).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from pyrapose_tpu.train.step import TrainState
+
+
+def save_checkpoint(state: TrainState, directory: str, step: int | None = None) -> str:
+    """Save params/batch_stats/opt_state/step under directory/step_N."""
+    step = int(state.step) if step is None else step
+    path = os.path.abspath(os.path.join(directory, f"step_{step:08d}"))
+    checkpointer = ocp.PyTreeCheckpointer()
+    payload = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    checkpointer.save(path, payload, force=True)
+    return path
+
+
+def latest_checkpoint(directory: str) -> str | None:
+    if not os.path.isdir(directory):
+        return None
+    steps = [d for d in os.listdir(directory) if d.startswith("step_")]
+    if not steps:
+        return None
+    return os.path.join(directory, sorted(steps)[-1])
+
+
+def restore_checkpoint(state: TrainState, path: str) -> TrainState:
+    """Restore into an existing TrainState (shapes/dtypes from `state`)."""
+    checkpointer = ocp.PyTreeCheckpointer()
+    target = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    restored = checkpointer.restore(os.path.abspath(path), item=target)
+    return state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def restore_params(path: str) -> Any:
+    """Load only the parameter tree (inference/eval entry)."""
+    checkpointer = ocp.PyTreeCheckpointer()
+    restored = checkpointer.restore(os.path.abspath(path))
+    return restored["params"], restored.get("batch_stats", {})

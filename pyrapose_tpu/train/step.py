@@ -1,0 +1,190 @@
+"""Training step: loss, gradients, optimizer, DP sharding.
+
+Optimization recipe matches the reference compile step (bin/train.py:95-102):
+Adam(lr=1e-5, clipnorm=1e-3) over {orthogonal_l1, focal, focal-mask}; keras'
+`clipnorm` clips each gradient tensor's own L2 norm, reproduced here as a
+per-leaf optax transform (optax.clip_by_global_norm has different semantics).
+The reference's L2(1e-3) kernel regularizer on the 3D regression head
+(models/retinanet.py:108) is added explicitly to the loss over the
+`box3d_head` kernel subtree.
+
+Two reference behaviours are expressed as an optax mask instead of graph
+surgery: backbone-stem freezing (reference freezes layers < 40 except BN,
+models/resnet.py:100-103 -> here: zero updates for `stem_*` and `stage1_*`)
+and frozen BatchNorm (handled in the module, models/resnet.py).
+
+Parallelism: data-parallel over the mesh 'data' axis. The step is jitted with
+explicit shardings — batch sharded, state replicated — so XLA inserts the
+gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyrapose_tpu.losses import total_loss
+from pyrapose_tpu.models import ModelConfig, PyraPose
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: optax.OptState
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+
+def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
+    """keras-style clipnorm: clip each gradient tensor to L2 norm <= max_norm."""
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(g * g))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return g * scale
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
+def _frozen_mask(params: Any) -> Any:
+    """True for trainable leaves; stem + stage1 of the backbone are frozen
+    (reference freezes the first ~40 keras layers, models/resnet.py:100-103)."""
+
+    flat = flax.traverse_util.flatten_dict(params)
+    mask = {}
+    for path in flat:
+        frozen = path[0] == "backbone" and (
+            path[1].startswith("stem") or path[1].startswith("stage1")
+        )
+        mask[path] = not frozen
+    return flax.traverse_util.unflatten_dict(mask)
+
+
+def make_optimizer(
+    learning_rate: float = 1e-5,
+    clipnorm: float = 1e-3,
+    freeze_backbone_stem: bool = True,
+) -> optax.GradientTransformation:
+    """Adam + per-leaf clipnorm with injectable lr (for plateau scheduling).
+
+    Flat chain so opt_state is (clip, inject_adam[, freeze]): index 1 always
+    holds the InjectHyperparamsState consumed by set_learning_rate.
+    """
+    parts = [
+        clip_by_leaf_norm(clipnorm),
+        optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
+    ]
+    if freeze_backbone_stem:
+        parts.append(
+            optax.masked(
+                optax.set_to_zero(),
+                lambda params: jax.tree_util.tree_map(
+                    lambda keep: not keep, _frozen_mask(params)
+                ),
+            )
+        )
+    return optax.chain(*parts)
+
+
+def create_train_state(
+    rng: jax.Array,
+    config: ModelConfig,
+    image_shape: tuple[int, int] = (480, 640),
+    learning_rate: float = 1e-5,
+    clipnorm: float = 1e-3,
+    freeze_backbone_stem: bool = True,
+) -> TrainState:
+    model = PyraPose(config=config)
+    dummy = jnp.zeros((1, image_shape[0], image_shape[1], 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(learning_rate, clipnorm, freeze_backbone_stem)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        apply_fn=model.apply,
+        tx=tx,
+    )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Update the injected Adam learning rate (ReduceLROnPlateau support)."""
+    inject = state.opt_state[1]
+    hyper = dict(inject.hyperparams)
+    hyper["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    new_inject = inject._replace(hyperparams=hyper)
+    new_opt_state = (state.opt_state[0], new_inject) + tuple(state.opt_state[2:])
+    return state.replace(opt_state=new_opt_state)
+
+
+def get_learning_rate(state: TrainState) -> float:
+    return float(state.opt_state[1].hyperparams["learning_rate"])
+
+
+HEAD_L2 = 1e-3  # reference kernel_regularizer on the 3D head (retinanet.py:108)
+
+
+def _box3d_head_l2(params: Any) -> jnp.ndarray:
+    flat = flax.traverse_util.flatten_dict(params)
+    acc = 0.0
+    for path, leaf in flat.items():
+        if path[0] == "box3d_head" and path[-1] == "kernel":
+            acc = acc + jnp.sum(leaf.astype(jnp.float32) ** 2)
+    return HEAD_L2 * acc
+
+
+def train_step(
+    state: TrainState, batch: dict[str, jnp.ndarray]
+) -> tuple[TrainState, dict[str, jnp.ndarray]]:
+    """One SGD step. batch = {images, labels, regression, mask}."""
+
+    def loss_fn(params):
+        variables = {"params": params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outputs = state.apply_fn(variables, batch["images"], train=True)
+        loss, parts = total_loss(outputs, batch)
+        loss = loss + _box3d_head_l2(params)
+        return loss, parts
+
+    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+    parts = dict(parts)
+    parts["grad_norm"] = optax.global_norm(grads)
+    return new_state, parts
+
+
+def eval_step(state: TrainState, images: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return state.apply_fn(variables, images, train=False)
+
+
+def make_sharded_train_step(mesh: Mesh, donate: bool = True):
+    """jit train_step with DP shardings: batch split on 'data', state replicated."""
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,) if donate else (),
+    )

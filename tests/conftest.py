@@ -1,0 +1,38 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-device sharding tests run on the host platform with
+--xla_force_host_platform_device_count=8, per the multi-chip test strategy
+(SURVEY.md section 4): TPU hardware in CI is a single chip, so mesh semantics
+are validated on virtual CPU devices.
+
+Note: this environment's sitecustomize pre-imports jax and registers a remote
+TPU backend, so env vars alone are too late — the platform is redirected via
+jax.config after import (the CPU backend itself has not initialized yet, so
+XLA_FLAGS still applies).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache makes warm test runs much faster.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,121 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyrapose_tpu.data import (
+    LINEMOD_SPEC,
+    GroundTruth,
+    PipelineConfig,
+    SyntheticPoseDataset,
+    dataset_spec,
+    make_target_fn,
+    preprocess_images,
+)
+from pyrapose_tpu.data.spec import box_corners_from_extents
+
+
+class TestSpec:
+    def test_linemod_spec(self):
+        spec = LINEMOD_SPEC
+        assert spec.num_classes == 13
+        assert spec.corners3d.shape == (13, 8, 3)
+        assert spec.diameters.shape == (13,)
+        # eggbox (obj 10) and glue (obj 11) are the symmetric classes
+        sym_objs = {spec.class_to_obj_id[c] for c in spec.symmetric}
+        assert sym_objs == {10, 11}
+        # LineMOD Kinect intrinsics (linemod_eval.py:35-38)
+        assert spec.intrinsics[0] == pytest.approx(572.4114)
+        # meters: ape diameter ~0.102 m
+        assert spec.diameters[0] == pytest.approx(0.102099, rel=1e-4)
+
+    def test_corner_order_matches_reference(self):
+        """Order (+++, ++-, +--, +-+, -++, -+-, ---, --+):
+        preprocessing/linemod.py:78-86."""
+        c = box_corners_from_extents(np.array([-1, -2, -3.0]), np.array([2, 4, 6.0]))
+        expected = np.array(
+            [
+                [1, 2, 3], [1, 2, -3], [1, -2, -3], [1, -2, 3],
+                [-1, 2, 3], [-1, 2, -3], [-1, -2, -3], [-1, -2, 3],
+            ],
+            np.float32,
+        )
+        np.testing.assert_array_equal(c, expected)
+
+    def test_dataset_spec_builtin(self):
+        assert dataset_spec("linemod") is LINEMOD_SPEC
+        with pytest.raises(ValueError):
+            dataset_spec("nonexistent")
+
+
+class TestPreprocess:
+    def test_caffe_mean_subtraction(self):
+        img = jnp.full((1, 2, 2, 3), 128, jnp.uint8)
+        out = np.asarray(preprocess_images(img))
+        np.testing.assert_allclose(out[0, 0, 0], [128 - 123.68, 128 - 116.779, 128 - 103.939], atol=1e-3)
+
+
+class TestSynthetic:
+    def test_deterministic(self):
+        spec = dataclasses.replace(LINEMOD_SPEC, image_shape=(128, 128))
+        ds = SyntheticPoseDataset(spec, num_images=4, seed=7)
+        img1, gt1 = ds.sample(2)
+        img2, gt2 = ds.sample(2)
+        np.testing.assert_array_equal(img1, img2)
+        np.testing.assert_array_equal(gt1.rot, gt2.rot)
+
+    def test_gt_consistency(self):
+        """Projected GT corners must land inside the annotated 2D bbox."""
+        spec = dataclasses.replace(LINEMOD_SPEC, image_shape=(240, 320))
+        ds = SyntheticPoseDataset(spec, num_images=8, seed=1)
+        for i in range(8):
+            img, gt = ds.sample(i)
+            assert img.shape == (240, 320, 3)
+            for k in range(gt.valid.shape[0]):
+                if not gt.valid[k]:
+                    continue
+                pix = ds._project_corners(int(gt.labels[k]), gt.rot[k], gt.trans[k])
+                x1, y1, x2, y2 = gt.boxes[k]
+                assert pix[:, 0].min() == pytest.approx(x1, abs=1e-3)
+                assert pix[:, 1].max() == pytest.approx(y2, abs=1e-3)
+
+    def test_mask_slots_reference_valid_instances(self):
+        spec = dataclasses.replace(LINEMOD_SPEC, image_shape=(240, 320))
+        ds = SyntheticPoseDataset(spec, num_images=4, seed=3)
+        _, gt = ds.sample(0)
+        slots = gt.mask_slots[gt.mask_slots >= 0]
+        assert len(slots) > 0
+        assert all(gt.valid[s] for s in np.unique(slots))
+
+    def test_batch_shapes(self):
+        spec = dataclasses.replace(LINEMOD_SPEC, image_shape=(128, 128))
+        ds = SyntheticPoseDataset(spec, num_images=4, max_instances=6, seed=0)
+        images, gt = ds.batch([0, 1, 2, 3])
+        assert images.shape == (4, 128, 128, 3)
+        assert gt.boxes.shape == (4, 6, 4)
+        assert gt.rot.shape == (4, 6, 3, 3)
+        assert gt.mask_slots.shape == (4, 16 * 16)
+
+
+class TestTargetFn:
+    def test_targets_from_synthetic_gt(self):
+        spec = dataclasses.replace(LINEMOD_SPEC, image_shape=(128, 128))
+        cfg = PipelineConfig(image_shape=(128, 128), max_instances=6, num_classes=13)
+        ds = SyntheticPoseDataset(spec, num_images=2, max_instances=6, seed=0)
+        _, gt = ds.batch([0, 1])
+        fn = make_target_fn(spec.corners3d, cfg)
+        targets = fn(jax.tree_util.tree_map(jnp.asarray, gt))
+        n = cfg.anchors.num_anchors((128, 128))
+        assert targets.labels.shape == (2, n, 14)
+        assert targets.regression.shape == (2, n, 17)
+        assert targets.mask.shape == (2, 16 * 16, 14)
+        labels = np.asarray(targets.labels)
+        # every valid synthetic instance is big enough to own >= 1 positive anchor
+        assert (labels[..., -1] == 1).sum() > 0
+        # positive anchors carry exactly one class
+        pos = labels[..., -1] == 1
+        assert np.all(labels[pos][:, :-1].sum(axis=1) == 1.0)
+        # mask target has foreground pixels
+        assert np.asarray(targets.mask)[..., -1].sum() > 0

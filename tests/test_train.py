@@ -1,0 +1,151 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyrapose_tpu.geometry import AnchorConfig, anchors_for_shape
+from pyrapose_tpu.models import ModelConfig
+from pyrapose_tpu.parallel import create_mesh, shard_batch
+from pyrapose_tpu.train import (
+    create_train_state,
+    get_learning_rate,
+    make_sharded_train_step,
+    set_learning_rate,
+    train_step,
+)
+from pyrapose_tpu.train.schedule import ReduceLROnPlateau
+
+H, W = 64, 64
+C = 2
+CFG = ModelConfig(num_classes=C, compute_dtype="float32")
+N = AnchorConfig().num_anchors((H, W))
+P3 = 8 * 8
+
+
+def _fake_batch(rng, batch=2):
+    anchors = anchors_for_shape((H, W))
+    labels = np.zeros((batch, N, C + 1), np.float32)
+    reg = np.zeros((batch, N, 17), np.float32)
+    mask = np.zeros((batch, P3, C + 1), np.float32)
+    for b in range(batch):
+        pos = rng.choice(N, 20, replace=False)
+        labels[b, pos, rng.integers(0, C)] = 1.0
+        labels[b, pos, -1] = 1.0
+        reg[b, pos, :16] = rng.normal(0, 1, (20, 16))
+        reg[b, pos, -1] = 1.0
+        mpix = rng.choice(P3, 30, replace=False)
+        mask[b, mpix, 0] = 1.0
+        mask[b, mpix, -1] = 1.0
+    del anchors
+    return {
+        "images": rng.normal(0, 1, (batch, H, W, 3)).astype(np.float32),
+        "labels": labels,
+        "regression": reg,
+        "mask": mask,
+    }
+
+
+@pytest.fixture(scope="module")
+def state():
+    return create_train_state(jax.random.PRNGKey(0), CFG, image_shape=(H, W))
+
+
+class TestTrainStep:
+    def test_loss_decreases(self, state, rng):
+        batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+        step = jax.jit(train_step)
+        s = state
+        losses = []
+        for _ in range(8):
+            s, parts = step(s, batch)
+            losses.append(float(parts["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+    def test_frozen_stem_not_updated(self, state, rng):
+        batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+        s2, _ = jax.jit(train_step)(state, batch)
+        stem_before = np.asarray(state.params["backbone"]["stem_conv"]["kernel"])
+        stem_after = np.asarray(s2.params["backbone"]["stem_conv"]["kernel"])
+        np.testing.assert_array_equal(stem_before, stem_after)
+        # but a head does update
+        head_before = np.asarray(state.params["cls_head"]["out"]["kernel"])
+        head_after = np.asarray(s2.params["cls_head"]["out"]["kernel"])
+        assert np.abs(head_after - head_before).max() > 0
+
+    def test_clipnorm_bounds_updates(self, state, rng):
+        """Per-leaf clipnorm 1e-3 with lr 1e-5 bounds each param delta."""
+        batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+        s2, _ = jax.jit(train_step)(state, batch)
+        for path, before, after in [
+            (
+                "cls_head.out.kernel",
+                state.params["cls_head"]["out"]["kernel"],
+                s2.params["cls_head"]["out"]["kernel"],
+            )
+        ]:
+            # adam step magnitude <= lr * ~1 per coordinate regardless of grad
+            delta = np.abs(np.asarray(after) - np.asarray(before)).max()
+            assert delta < 5e-5, f"{path} moved {delta}"
+
+    def test_set_learning_rate(self, state):
+        assert get_learning_rate(state) == pytest.approx(1e-5)
+        s2 = set_learning_rate(state, 1e-6)
+        assert get_learning_rate(s2) == pytest.approx(1e-6)
+
+
+class TestPlateau:
+    def test_reduces_after_patience(self):
+        sched = ReduceLROnPlateau(patience=2, verbose=False)
+        lr = 1e-5
+        lr = sched.update(1.0, lr)  # best = 1.0
+        lr = sched.update(1.0, lr)  # wait 1
+        lr = sched.update(1.0, lr)  # wait 2
+        assert lr == pytest.approx(1e-5)
+        lr = sched.update(1.0, lr)  # wait 3 > patience -> reduce
+        assert lr == pytest.approx(1e-6)
+
+    def test_improvement_resets(self):
+        sched = ReduceLROnPlateau(patience=2, verbose=False)
+        lr = 1e-5
+        lr = sched.update(1.0, lr)
+        lr = sched.update(1.0, lr)
+        lr = sched.update(0.5, lr)  # improvement
+        lr = sched.update(0.5, lr)
+        lr = sched.update(0.5, lr)
+        assert lr == pytest.approx(1e-5)
+
+    def test_min_lr_floor(self):
+        sched = ReduceLROnPlateau(patience=0, min_lr=1e-7, verbose=False)
+        lr = 1e-6
+        for _ in range(5):
+            lr = sched.update(1.0, lr)
+        assert lr == pytest.approx(1e-7)
+
+
+class TestShardedStep:
+    def test_dp_over_8_cpu_devices(self, state, rng):
+        assert jax.device_count() == 8
+        mesh = create_mesh()
+        step = make_sharded_train_step(mesh, donate=False)
+        batch = shard_batch(_fake_batch(rng, batch=8), mesh)
+        s2, parts = step(state, batch)
+        assert np.isfinite(float(parts["loss"]))
+        # params stay replicated
+        leaf = s2.params["cls_head"]["out"]["kernel"]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_dp_matches_single_device(self, state, rng):
+        """Gradient all-reduce over the mesh == big-batch single-device step."""
+        batch_np = _fake_batch(rng, batch=8)
+        mesh = create_mesh()
+        step = make_sharded_train_step(mesh, donate=False)
+        s_dp, parts_dp = step(state, shard_batch(batch_np, mesh))
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        s_single, parts_single = jax.jit(train_step)(state, batch)
+        assert float(parts_dp["loss"]) == pytest.approx(
+            float(parts_single["loss"]), rel=1e-5
+        )
+        a = np.asarray(s_dp.params["cls_head"]["out"]["kernel"])
+        b = np.asarray(s_single.params["cls_head"]["out"]["kernel"])
+        np.testing.assert_allclose(a, b, atol=1e-6)
