@@ -7,7 +7,7 @@ import dataclasses
 import jax
 
 from pyrapose_tpu.data.spec import dataset_spec
-from pyrapose_tpu.eval.driver import evaluate_dataset
+from pyrapose_tpu.eval.drivers import evaluate_by_name, load_model_points
 from pyrapose_tpu.inference import build_inference_fn
 from pyrapose_tpu.models import ModelConfig, PyraPose
 from pyrapose_tpu.pose import RansacConfig
@@ -18,6 +18,11 @@ def run_evaluate(args) -> int:
     spec = dataset_spec(
         args.dataset if args.dataset != "synthetic" else "linemod", args.data_path
     )
+    image_shape = (
+        getattr(args, "image_min_side", 480), getattr(args, "image_max_side", 640)
+    )
+    if spec.image_shape != image_shape:
+        spec = dataclasses.replace(spec, image_shape=image_shape)
     config = ModelConfig(num_classes=spec.num_classes, backbone=args.backbone)
     model = PyraPose(config=config)
 
@@ -48,12 +53,18 @@ def run_evaluate(args) -> int:
                 yield ds.batch(list(range(i, min(i + args.batch_size, 64))))
 
     else:
-        from pyrapose_tpu.data.bop import BopDataset
+        from pyrapose_tpu.data.datasets import create_dataset
 
-        ds = BopDataset(args.data_path, args.set_name, spec=spec)
+        ds = create_dataset(args.dataset, args.data_path, args.set_name, spec=spec)
 
         def batches():
             yield from ds.epoch_batches(args.batch_size, shuffle=False)
 
-    evaluate_dataset(spec, infer, variables, batches(), verbose=True)
+    model_points = (
+        load_model_points(args.data_path, spec) if args.data_path else None
+    )
+    evaluate_by_name(
+        args.dataset, spec, infer, variables, batches(),
+        model_points=model_points, verbose=True,
+    )
     return 0

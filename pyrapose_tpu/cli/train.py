@@ -36,11 +36,12 @@ def _build_dataset(args, spec, augment):
 
         n = (args.steps_per_epoch or 50) * args.batch_size
         return SyntheticPoseDataset(spec, num_images=max(n, 64), seed=args.seed)
-    from pyrapose_tpu.data.bop import BopDataset
+    from pyrapose_tpu.data.datasets import create_dataset
 
-    return BopDataset(
+    return create_dataset(
+        args.dataset,
         args.data_path,
-        "train",
+        set_name="train",
         spec=spec,
         augment=AugmentConfig() if augment else None,
         seed=args.seed,

@@ -64,6 +64,11 @@ def _euler_to_mat_np(e: np.ndarray) -> np.ndarray:
 class BopDataset:
     """Host-side dataset over a BOP-converted directory."""
 
+    dataset_name = "bop"
+    # YCB-V applies the feature-visibility filter on every split, not just
+    # train (preprocessing/ycbv.py:263-265 vs linemod.py:227-229).
+    visibility_filter_all_splits = False
+
     def __init__(
         self,
         data_dir: str,
@@ -153,9 +158,8 @@ class BopDataset:
         cam = self._intrinsics(info)
         for ann in self.anns_by_image.get(info["id"], []):
             if (
-                self.set_name == "train"
-                and ann.get("feature_visibility", 1.0) < self.visibility_threshold
-            ):
+                self.set_name == "train" or self.visibility_filter_all_splits
+            ) and ann.get("feature_visibility", 1.0) < self.visibility_threshold:
                 continue
             oid = ann["category_id"]
             if oid not in self.obj_to_label:

@@ -153,28 +153,60 @@ _BUILTIN_INTRINSICS = {
     "homebrewed": _HB_INTRINSICS,
 }
 
+# Per-dataset trained object subsets. The reference trains YCB-V on 5 of 21
+# objects with remap {5,8,9,10,21}->{1..5} (preprocessing/ycbv.py:92-105);
+# Occlusion-LineMOD benchmarks the 8 LM-O objects (occlusion_eval.py per-class
+# loop). None means "every object in models_info".
+_DATASET_OBJ_IDS: dict[str, list[int] | None] = {
+    "linemod": _LM_OBJ_IDS,
+    "occlusion": [1, 5, 6, 8, 9, 10, 11, 12],
+    "ycbv": [5, 8, 9, 10, 21],
+    "tless": None,
+    "homebrewed": None,
+}
+
+# Object ids scored with ADI (symmetric) per dataset:
+# - linemod/occlusion: eggbox+glue (linemod_eval.py:525-531,
+#   occlusion_eval.py:521-524);
+# - ycbv: BOP symmetry sets, continuous {13,18} + discrete {1,19,20,21}
+#   (annotation_scripts/annotate_BOP.py:401-407);
+# - tless: the reference scores EVERY class with ADI (tless_eval.py:665), so
+#   all 30 objects are listed;
+# - homebrewed: ADD only (homebrewed_eval.py:622).
+_DATASET_SYMMETRIC_OBJ: dict[str, tuple[int, ...]] = {
+    "linemod": _LM_SYMMETRIC_OBJ,
+    "occlusion": _LM_SYMMETRIC_OBJ,
+    "ycbv": (1, 13, 18, 19, 20, 21),
+    "tless": tuple(range(1, 31)),
+    "homebrewed": (),
+}
+
 
 @lru_cache(maxsize=8)
 def dataset_spec(name: str, data_root: str | None = None) -> DatasetSpec:
     """Resolve a dataset spec by name.
 
     With a data_root, builds from `{root}/annotations/models_info.{yml,json}`
-    (the layout the reference loaders expect, linemod.py:69); otherwise falls
-    back to built-in constants (LineMOD only).
+    (the layout the reference loaders expect, linemod.py:69), restricted to
+    the dataset's trained object subset; otherwise falls back to built-in
+    constants (LineMOD only).
     """
     if data_root is not None:
         for fname in ("models_info.yml", "models_info.json"):
             path = os.path.join(data_root, "annotations", fname)
             if os.path.exists(path):
                 info = load_models_info(path)
-                obj_ids = sorted(int(k) for k in info)
-                sym = _LM_SYMMETRIC_OBJ if name in ("linemod", "occlusion") else ()
+                available = sorted(int(k) for k in info)
+                subset = _DATASET_OBJ_IDS.get(name)
+                obj_ids = (
+                    [o for o in subset if o in available] if subset else available
+                )
                 return spec_from_models_info(
                     name,
                     info,
                     obj_ids,
                     _BUILTIN_INTRINSICS.get(name, _LM_INTRINSICS),
-                    sym,
+                    _DATASET_SYMMETRIC_OBJ.get(name, ()),
                 )
         raise FileNotFoundError(f"models_info not found under {data_root}/annotations")
     if name == "linemod":

@@ -1,0 +1,181 @@
+"""Per-dataset loader tests over a synthetic on-disk BOP-style tree.
+
+Mirrors the annotation layout the reference's generators consume
+(preprocessing/linemod.py:37-88: instances_{set}.json + models_info +
+{stem}_rgb.png / {stem}_mask.png).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pyrapose_tpu.data.datasets import (
+    CocoDetectionDataset,
+    YcbvDataset,
+    create_dataset,
+)
+from pyrapose_tpu.data.spec import dataset_spec
+
+
+def _models_info(obj_ids):
+    return {
+        str(o): dict(
+            diameter=100.0 + o,
+            min_x=-40.0, min_y=-35.0, min_z=-30.0,
+            size_x=80.0, size_y=70.0, size_z=60.0,
+        )
+        for o in obj_ids
+    }
+
+
+def _make_bop_tree(root, obj_ids, set_name="train", n_images=3, pose_len=7,
+                   visibilities=None, with_k=False):
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    img_dir = os.path.join(root, "images", set_name)
+    os.makedirs(img_dir, exist_ok=True)
+    with open(os.path.join(root, "annotations", "models_info.json"), "w") as f:
+        json.dump(_models_info(obj_ids), f)
+
+    images, annotations = [], []
+    ann_id = 0
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        fname = f"{i:06d}.png"
+        stem = os.path.join(img_dir, f"{i:06d}")
+        Image.fromarray(
+            rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+        ).save(stem + "_rgb.png")
+        mask = np.zeros((480, 640), np.uint8)
+        mask[100:200, 150:300] = 1
+        Image.fromarray(mask).save(stem + "_mask.png")
+        images.append(
+            dict(id=i, file_name=fname, width=640, height=480,
+                 fx=572.4114, fy=573.57043, cx=325.2611, cy=242.04899)
+        )
+        for j, oid in enumerate(obj_ids[:2]):
+            if pose_len == 7:
+                pose = [0.0, 0.0, 900.0, 1.0, 0.0, 0.0, 0.0]  # mm + quat
+            else:
+                pose = [0.0, 0.0, 900.0, 0.1, 0.2, 0.3]  # mm + euler
+            ann = dict(
+                id=ann_id, image_id=i, category_id=oid,
+                bbox=[150.0, 100.0, 150.0, 100.0],
+                pose=pose, mask_id=1,
+                feature_visibility=(
+                    visibilities[j] if visibilities else 1.0
+                ),
+            )
+            if with_k:
+                ann["K"] = [600.0, 0, 320.0, 0, 601.0, 240.0, 0, 0, 1.0]
+            annotations.append(ann)
+            ann_id += 1
+    with open(
+        os.path.join(root, "annotations", f"instances_{set_name}.json"), "w"
+    ) as f:
+        json.dump(dict(images=images, annotations=annotations), f)
+
+
+class TestRegistry:
+    def test_unknown_dataset_raises(self, tmp_path):
+        with pytest.raises(ValueError):
+            create_dataset("nope", str(tmp_path))
+
+    def test_linemod_loader(self, tmp_path):
+        obj_ids = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
+        _make_bop_tree(str(tmp_path), obj_ids)
+        ds = create_dataset("linemod", str(tmp_path))
+        assert len(ds) == 3
+        assert ds.spec.num_classes == 13
+        img, gt = ds.sample(0)
+        assert img.shape == (480, 640, 3)
+        assert gt.valid.sum() == 2
+        # mm -> meters pose normalization (reference goes m -> mm instead,
+        # linemod.py:238-241; units must be self-consistent)
+        assert gt.trans[0, 2] == pytest.approx(0.9)
+
+    def test_occlusion_subset(self, tmp_path):
+        # models_info covers 13 objects; LM-O keeps its 8-object subset
+        obj_ids = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
+        _make_bop_tree(str(tmp_path), obj_ids)
+        ds = create_dataset("occlusion", str(tmp_path))
+        assert ds.spec.num_classes == 8
+        assert ds.spec.class_to_obj_id == (1, 5, 6, 8, 9, 10, 11, 12)
+        sym_objs = {ds.spec.class_to_obj_id[c] for c in ds.spec.symmetric}
+        assert sym_objs == {10, 11}
+
+    def test_ycbv_remap_and_visibility(self, tmp_path):
+        # 21-object models_info -> 5 trained classes {5,8,9,10,21}
+        # (preprocessing/ycbv.py:92-105)
+        obj_ids = list(range(1, 22))
+        _make_bop_tree(
+            str(tmp_path), [5, 8], set_name="val", visibilities=[1.0, 0.2]
+        )
+        with open(
+            os.path.join(str(tmp_path), "annotations", "models_info.json"), "w"
+        ) as f:
+            json.dump(_models_info(obj_ids), f)
+        dataset_spec.cache_clear()
+        ds = create_dataset("ycbv", str(tmp_path), set_name="val")
+        assert ds.spec.num_classes == 5
+        assert ds.spec.class_to_obj_id == (5, 8, 9, 10, 21)
+        # foam brick (obj 21) is ADI-scored (annotate_BOP.py:401-407)
+        assert {ds.spec.class_to_obj_id[c] for c in ds.spec.symmetric} >= {21}
+        assert YcbvDataset.visibility_filter_all_splits
+        # visibility filter applies even on val (ycbv.py:263-265):
+        # second annotation (vis 0.2) is dropped
+        _, gt = ds.sample(0)
+        assert gt.valid.sum() == 1
+
+    def test_tless_euler_and_per_ann_k(self, tmp_path):
+        obj_ids = list(range(1, 31))
+        _make_bop_tree(str(tmp_path), obj_ids, pose_len=6, with_k=True)
+        dataset_spec.cache_clear()
+        ds = create_dataset("tless", str(tmp_path))
+        assert ds.spec.num_classes == 30
+        # every T-LESS class is ADI-scored (tless_eval.py:665)
+        assert len(ds.spec.symmetric) == 30
+        img, gt = ds.sample(0)
+        # per-annotation K wins over the image-record intrinsics
+        assert gt.cam[0] == pytest.approx(600.0)
+        # euler pose parsed to a valid rotation
+        r = gt.rot[0]
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+
+    def test_homebrewed(self, tmp_path):
+        obj_ids = list(range(1, 34))
+        _make_bop_tree(str(tmp_path), obj_ids)
+        dataset_spec.cache_clear()
+        ds = create_dataset("homebrewed", str(tmp_path))
+        assert ds.spec.num_classes == 33
+        assert ds.spec.symmetric == ()
+
+
+class TestCocoDetection:
+    def test_loader(self, tmp_path):
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "annotations"))
+        img_dir = os.path.join(root, "images", "val")
+        os.makedirs(img_dir)
+        Image.fromarray(np.zeros((100, 120, 3), np.uint8)).save(
+            os.path.join(img_dir, "a.png")
+        )
+        data = dict(
+            images=[dict(id=7, file_name="a.png", width=120, height=100)],
+            annotations=[
+                dict(id=0, image_id=7, category_id=18, bbox=[10, 20, 30, 40]),
+                dict(id=1, image_id=7, category_id=3, bbox=[5, 5, 10, 10], iscrowd=1),
+            ],
+            categories=[dict(id=3, name="car"), dict(id=18, name="dog")],
+        )
+        with open(os.path.join(root, "annotations", "instances_val.json"), "w") as f:
+            json.dump(data, f)
+        ds = CocoDetectionDataset(root, "val", max_instances=8)
+        assert ds.num_classes == 2
+        img, t = ds.sample(0)
+        assert img.shape == (100, 120, 3)
+        assert t["valid"].sum() == 1  # crowd box dropped
+        np.testing.assert_allclose(t["boxes"][0], [10, 20, 40, 60])
+        assert t["labels"][0] == 1  # dog -> label 1 (sorted cat ids)
