@@ -68,6 +68,70 @@ def translation_error(t_est: jnp.ndarray, t_gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.norm(t_est - t_gt, axis=-1)
 
 
+def visibility_mask(
+    dist_test: jnp.ndarray, dist_model: jnp.ndarray, delta: jnp.ndarray | float
+) -> jnp.ndarray:
+    """Visibility test (pose_error.py:15-30): the model surface is visible
+    where both images have data and the model is no more than delta behind
+    the observed scene surface."""
+    valid = (dist_test > 0) & (dist_model > 0)
+    return ((dist_model - dist_test) <= delta) & valid
+
+
+def vsd_metric(
+    rot_est: jnp.ndarray,
+    t_est: jnp.ndarray,
+    rot_gt: jnp.ndarray,
+    t_gt: jnp.ndarray,
+    points: jnp.ndarray,
+    depth_test: jnp.ndarray,
+    cam: jnp.ndarray,
+    delta: float = 15.0,
+    tau: float = 20.0,
+    cost_type: str = "step",
+) -> jnp.ndarray:
+    """Visible Surface Discrepancy (pose_error.py:105-176), fully on device.
+
+    All depth quantities must share one length unit (the reference calls
+    this with millimetres: tless_eval.py:659). The GL depth render is
+    replaced by a point-splat scatter-min (eval/render.py). cost_type:
+    'step' (SIXD 2017, the reference default) or 'tlinear' (ECCVW16).
+    """
+    from pyrapose_tpu.eval.render import depth_to_dist, render_depth
+
+    shape = depth_test.shape
+    depth_est = render_depth(points, rot_est, t_est, cam, shape)
+    depth_gt = render_depth(points, rot_gt, t_gt, cam, shape)
+
+    dist_test = depth_to_dist(depth_test, cam)
+    dist_gt = depth_to_dist(depth_gt, cam)
+    dist_est = depth_to_dist(depth_est, cam)
+
+    visib_gt = visibility_mask(dist_test, dist_gt, delta)
+    # estimated-pose visibility additionally keeps pixels the GT pose sees
+    # (pose_error.py:37-40)
+    visib_est = visibility_mask(dist_test, dist_est, delta) | (
+        visib_gt & (dist_est > 0)
+    )
+
+    inter = visib_gt & visib_est
+    union = visib_gt | visib_est
+
+    diff = jnp.abs(dist_gt - dist_est)
+    if cost_type == "step":
+        costs = (diff >= tau).astype(jnp.float32)
+    elif cost_type == "tlinear":
+        costs = jnp.minimum(diff / tau, 1.0)
+    else:
+        raise ValueError(f"unknown cost_type {cost_type!r}")
+
+    union_count = jnp.sum(union)
+    inter_count = jnp.sum(inter)
+    cost_sum = jnp.sum(jnp.where(inter, costs, 0.0))
+    e = (cost_sum + (union_count - inter_count)) / jnp.maximum(union_count, 1)
+    return jnp.where(union_count > 0, e, 1.0)
+
+
 def reprojection_error(
     rot_est: jnp.ndarray,
     t_est: jnp.ndarray,

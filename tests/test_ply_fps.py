@@ -1,0 +1,125 @@
+"""PLY parser and farthest-point-sampling tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+from pyrapose_tpu.utils.fps import farthest_point_sampling, write_features_json
+from pyrapose_tpu.utils.ply import load_ply, sample_model_points
+
+CUBE_PTS = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    np.float64,
+)
+CUBE_FACES = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6]], np.int64)
+
+
+def _write_ascii_ply(path, with_normals=False, with_colors=False):
+    props = ["property float x", "property float y", "property float z"]
+    if with_normals:
+        props += ["property float nx", "property float ny", "property float nz"]
+    if with_colors:
+        props += ["property uchar red", "property uchar green", "property uchar blue"]
+    lines = [
+        "ply", "format ascii 1.0",
+        f"element vertex {len(CUBE_PTS)}", *props,
+        f"element face {len(CUBE_FACES)}",
+        "property list uchar int vertex_indices",
+        "end_header",
+    ]
+    for i, p in enumerate(CUBE_PTS):
+        row = list(p)
+        if with_normals:
+            row += [0.0, 0.0, 1.0]
+        vals = " ".join(f"{v:g}" for v in row)
+        if with_colors:
+            vals += f" {i * 10} {i * 20 % 256} 7"
+        lines.append(vals)
+    for f in CUBE_FACES:
+        lines.append("3 " + " ".join(str(v) for v in f))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def _write_binary_ply(path):
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(CUBE_PTS)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {len(CUBE_FACES)}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    ).encode()
+    body = CUBE_PTS.astype("<f4").tobytes()
+    for f in CUBE_FACES:
+        body += np.uint8(3).tobytes() + f.astype("<i4").tobytes()
+    path.write_bytes(header + body)
+
+
+class TestPly:
+    def test_ascii(self, tmp_path):
+        p = tmp_path / "cube.ply"
+        _write_ascii_ply(p)
+        mesh = load_ply(str(p))
+        np.testing.assert_allclose(mesh["pts"], CUBE_PTS)
+        np.testing.assert_array_equal(mesh["faces"], CUBE_FACES)
+
+    def test_ascii_normals_colors(self, tmp_path):
+        p = tmp_path / "cube.ply"
+        _write_ascii_ply(p, with_normals=True, with_colors=True)
+        mesh = load_ply(str(p))
+        np.testing.assert_allclose(mesh["pts"], CUBE_PTS)
+        np.testing.assert_allclose(mesh["normals"][:, 2], 1.0)
+        assert mesh["colors"].dtype == np.uint8
+        assert mesh["colors"][3, 0] == 30
+
+    def test_binary(self, tmp_path):
+        p = tmp_path / "cube.ply"
+        _write_binary_ply(p)
+        mesh = load_ply(str(p))
+        np.testing.assert_allclose(mesh["pts"], CUBE_PTS, atol=1e-6)
+        np.testing.assert_array_equal(mesh["faces"], CUBE_FACES)
+
+    def test_not_ply(self, tmp_path):
+        p = tmp_path / "junk.ply"
+        p.write_bytes(b"hello world")
+        with pytest.raises(ValueError):
+            load_ply(str(p))
+
+    def test_sample_fixed_count(self, tmp_path):
+        p = tmp_path / "cube.ply"
+        _write_ascii_ply(p)
+        mesh = load_ply(str(p))
+        pts = sample_model_points(mesh, 5)
+        assert pts.shape == (5, 3)
+        pts_big = sample_model_points(mesh, 20)  # with replacement
+        assert pts_big.shape == (20, 3)
+
+
+class TestFps:
+    def test_far_apart_on_cube_grid(self):
+        g = np.linspace(0, 1, 6)
+        grid = np.stack(np.meshgrid(g, g, g), axis=-1).reshape(-1, 3)
+        sel = farthest_point_sampling(grid, 8)
+        # selected points are pairwise far apart (the FPS invariant) ...
+        d = np.linalg.norm(sel[:, None] - sel[None, :], axis=-1)
+        d[np.arange(8), np.arange(8)] = np.inf
+        assert d.min() > 0.6
+        # ... and the first two picks are opposite cube corners
+        assert np.linalg.norm(sel[1] - sel[0]) == pytest.approx(np.sqrt(3))
+
+    def test_k_larger_than_n(self):
+        sel = farthest_point_sampling(CUBE_PTS, 100)
+        assert sel.shape == (8, 3)
+
+    def test_features_json(self, tmp_path):
+        p = tmp_path / "obj_01.ply"
+        _write_ascii_ply(p)
+        out = tmp_path / "features.json"
+        feats = write_features_json({1: str(p)}, str(out), k=4)
+        assert len(feats["1"]) == 4
+        on_disk = json.loads(out.read_text())
+        assert on_disk == {k: [list(map(float, r)) for r in v] for k, v in feats.items()}
