@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--set-name", default="val")
     e.add_argument("--batch-size", type=int, default=8)
     e.add_argument("--score-threshold", type=float, default=0.5)  # evaluate.py:150
+    e.add_argument("--image-min-side", type=int, default=480)  # evaluate.py:154
+    e.add_argument("--image-max-side", type=int, default=640)
 
     i = sub.add_parser("infer", help="run inference on images, write poses JSON")
     i.add_argument("dataset", choices=DATASETS)
@@ -54,13 +56,54 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--score-threshold", type=float, default=0.5)
     i.add_argument("--batch-size", type=int, default=8)
 
+    c = sub.add_parser(
+        "convert", help="import a keras .h5 checkpoint into a native checkpoint"
+    )
+    c.add_argument("dataset", choices=DATASETS)
+    c.add_argument("h5", help="keras .h5 weight file")
+    c.add_argument("output", help="output checkpoint directory")
+    c.add_argument("--data-path", default=None)
+    c.add_argument("--backbone", default="resnet50")
+    c.add_argument(
+        "--backbone-only",
+        action="store_true",
+        help="import only the Caffe-named ImageNet backbone weights",
+    )
+
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--batch-size", type=int, default=16)
     b.add_argument("--iters", type=int, default=20)
     return p
 
 
+def _configure_jax() -> None:
+    """Apply platform + compile-cache configuration before any tracing.
+
+    - Re-applies JAX_PLATFORMS: some environments (including this one)
+      pre-import jax at interpreter start, which makes the environment
+      variable a no-op by the time user code runs; routing it through
+      jax.config restores the documented behaviour.
+    - Enables a persistent compilation cache so repeat CLI invocations skip
+      the multi-minute XLA compile of the full train/inference programs.
+    """
+    import os
+
+    import jax
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        jax.config.update("jax_platforms", platforms)
+    cache_dir = os.environ.get(
+        "PYRAPOSE_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pyrapose_tpu", "xla"),
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main(argv: list[str] | None = None) -> int:
+    _configure_jax()
     args = build_parser().parse_args(argv)
     if args.command == "train":
         from pyrapose_tpu.cli.train import run_train
@@ -74,6 +117,10 @@ def main(argv: list[str] | None = None) -> int:
         from pyrapose_tpu.cli.infer import run_infer
 
         return run_infer(args)
+    if args.command == "convert":
+        from pyrapose_tpu.cli.convert import run_convert
+
+        return run_convert(args)
     if args.command == "bench":
         import os
 

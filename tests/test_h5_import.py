@@ -1,0 +1,182 @@
+"""Keras .h5 import tests: synthetic caffe-named checkpoint round-trip.
+
+Builds an h5 file in the keras save_weights layout (layer_names /
+weight_names attrs) with the Caffe naming the fizyr ImageNet release and
+keras-resnet use (reference models/resnet.py:87-98), filled with random
+arrays shaped from the flax model's own tree, then checks the importer puts
+every array in the right slot.
+"""
+
+import numpy as np
+import pytest
+
+h5py = pytest.importorskip("h5py")
+
+import jax
+import jax.numpy as jnp
+
+from pyrapose_tpu.models import ModelConfig, PyraPose
+from pyrapose_tpu.models.h5_import import (
+    _PFPN_ORDER,
+    _caffe_block_names,
+    import_pyrapose_h5,
+    import_resnet_imagenet,
+    read_h5_layers,
+)
+
+
+@pytest.fixture(scope="module")
+def variables():
+    model = PyraPose(config=ModelConfig(num_classes=5))
+    return model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32), train=False
+    )
+
+
+def _write_layer(root, order, name, weights):
+    g = root.create_group(name) if name not in root else root[name]
+    wnames = []
+    for short, arr in weights.items():
+        path = f"{name}/{short}:0"
+        g.create_dataset(path, data=arr)
+        wnames.append(path.encode())
+    g.attrs["weight_names"] = wnames
+    order.append(name.encode())
+
+
+def _rand_like(rng, tree):
+    return rng.standard_normal(np.asarray(tree).shape).astype(np.float32)
+
+
+def _bn_weights(rng, p, s):
+    return {
+        "gamma": _rand_like(rng, p["scale"]),
+        "beta": _rand_like(rng, p["bias"]),
+        "moving_mean": _rand_like(rng, s["mean"]),
+        "moving_variance": _rand_like(rng, s["var"]),
+    }
+
+
+def _make_h5(path, variables, full=False):
+    rng = np.random.default_rng(0)
+    bb_p = variables["params"]["backbone"]
+    bb_s = variables["batch_stats"]["backbone"]
+    with h5py.File(path, "w") as f:
+        root = f.create_group("model_weights")
+        order = []
+        _write_layer(root, order, "conv1", {
+            "kernel": _rand_like(rng, bb_p["stem_conv"]["kernel"]),
+        })
+        _write_layer(root, order, "bn_conv1",
+                     _bn_weights(rng, bb_p["stem_bn"], bb_s["stem_bn"]))
+        for block_path, caffe in _caffe_block_names("resnet50"):
+            bp, bs = bb_p[block_path], bb_s[block_path]
+            for our_c, our_b, br in (("conv1", "bn1", "branch2a"),
+                                     ("conv2", "bn2", "branch2b"),
+                                     ("conv3", "bn3", "branch2c")):
+                _write_layer(root, order, f"res{caffe}_{br}",
+                             {"kernel": _rand_like(rng, bp[our_c]["kernel"])})
+                _write_layer(root, order, f"bn{caffe}_{br}",
+                             _bn_weights(rng, bp[our_b], bs[our_b]))
+            if "proj_conv" in bp:
+                _write_layer(root, order, f"res{caffe}_branch1",
+                             {"kernel": _rand_like(rng, bp["proj_conv"]["kernel"])})
+                _write_layer(root, order, f"bn{caffe}_branch1",
+                             _bn_weights(rng, bp["proj_bn"], bs["proj_bn"]))
+        if full:
+            pfpn = variables["params"]["pfpn"]
+            for i, our in enumerate(_PFPN_ORDER):
+                _write_layer(root, order, f"conv2d_{i + 1}", {
+                    "kernel": _rand_like(rng, pfpn[our]["kernel"]),
+                    "bias": _rand_like(rng, pfpn[our]["bias"]),
+                })
+            for h5_name, our_head in (("3Dbox", "box3d_head"),
+                                      ("cls", "cls_head"), ("mask", "mask_head")):
+                head = variables["params"][our_head]
+                g = root.create_group(h5_name)
+                wnames = []
+                for i in range(4):
+                    t = head["tower"][f"conv{i}"]
+                    for short in ("kernel", "bias"):
+                        p = f"inner_conv{i}/{short}:0"
+                        g.create_dataset(p, data=_rand_like(rng, t[short]))
+                        wnames.append(p.encode())
+                for short in ("kernel", "bias"):
+                    p = f"inner_out/{short}:0"
+                    g.create_dataset(p, data=_rand_like(rng, head["out"][short]))
+                    wnames.append(p.encode())
+                g.attrs["weight_names"] = wnames
+                order.append(h5_name.encode())
+        root.attrs["layer_names"] = order
+
+
+class TestReadH5:
+    def test_layer_parsing(self, variables, tmp_path):
+        p = str(tmp_path / "w.h5")
+        _make_h5(p, variables)
+        layers = read_h5_layers(p)
+        assert "conv1" in layers and "kernel" in layers["conv1"]
+        assert layers["bn_conv1"]["gamma"].shape == (64,)
+        assert "res2a_branch1" in layers  # projection shortcut
+
+
+class TestImportBackbone:
+    def test_round_trip(self, variables, tmp_path):
+        p = str(tmp_path / "w.h5")
+        _make_h5(p, variables)
+        out = import_resnet_imagenet(p, variables)
+        layers = read_h5_layers(p)
+        np.testing.assert_array_equal(
+            out["params"]["backbone"]["stem_conv"]["kernel"], layers["conv1"]["kernel"]
+        )
+        np.testing.assert_array_equal(
+            out["params"]["backbone"]["stage3_block2"]["conv2"]["kernel"],
+            layers["res4b_branch2b"]["kernel"],
+        )
+        np.testing.assert_array_equal(
+            out["batch_stats"]["backbone"]["stage1_block1"]["proj_bn"]["mean"],
+            layers["bn2a_branch1"]["moving_mean"],
+        )
+        # non-backbone params untouched
+        np.testing.assert_array_equal(
+            out["params"]["pfpn"]["lateral_p3"]["kernel"],
+            variables["params"]["pfpn"]["lateral_p3"]["kernel"],
+        )
+
+    def test_shape_mismatch_raises(self, variables, tmp_path):
+        p = str(tmp_path / "w.h5")
+        _make_h5(p, variables)
+        with h5py.File(p, "r+") as f:
+            g = f["model_weights/conv1"]
+            del g["conv1/kernel:0"]
+            g.create_dataset("conv1/kernel:0", data=np.zeros((3, 3, 3, 64), np.float32))
+        with pytest.raises(ValueError, match="conv1"):
+            import_resnet_imagenet(p, variables)
+
+
+class TestImportFull:
+    def test_full_round_trip(self, variables, tmp_path):
+        p = str(tmp_path / "w.h5")
+        _make_h5(p, variables, full=True)
+        out = import_pyrapose_h5(p, variables)
+        layers = read_h5_layers(p)
+        np.testing.assert_array_equal(
+            out["params"]["pfpn"]["lateral_p4"]["kernel"],
+            layers["conv2d_2"]["kernel"],
+        )
+        np.testing.assert_array_equal(
+            out["params"]["pfpn"]["out_p5"]["kernel"],
+            layers["conv2d_10"]["kernel"],
+        )
+        np.testing.assert_array_equal(
+            out["params"]["cls_head"]["tower"]["conv3"]["bias"],
+            layers["cls/inner_conv3"]["bias"],
+        )
+        np.testing.assert_array_equal(
+            out["params"]["box3d_head"]["out"]["kernel"],
+            layers["3Dbox/inner_out"]["kernel"],
+        )
+        # imported tree still runs a forward pass
+        model = PyraPose(config=ModelConfig(num_classes=5))
+        y = model.apply(out, jnp.zeros((1, 64, 64, 3), jnp.float32), train=False)
+        assert y["cls_logits"].shape[-1] == 5
