@@ -38,11 +38,57 @@ class ModelConfig:
         return jnp.dtype(self.compute_dtype)
 
 
-_BACKBONES = {
-    "resnet50": (3, 4, 6, 3),
-    "resnet101": (3, 4, 23, 3),
-    "resnet152": (3, 8, 36, 3),
-}
+def _make_backbone(name: str, dtype, frozen_bn: bool):
+    """Backbone registry (reference models/__init__.py:55-65 dispatches by
+    name substring to resnet/densenet/efficientnet builders)."""
+    resnet_sizes = {
+        "resnet10": (1, 1, 1, 1),  # smoke/test backbone (fast compile)
+        "resnet50": (3, 4, 6, 3),
+        "resnet101": (3, 4, 23, 3),
+        "resnet152": (3, 8, 36, 3),
+    }
+    if name in resnet_sizes:
+        return ResNet(
+            stage_sizes=resnet_sizes[name], dtype=dtype, frozen_bn=frozen_bn,
+            name="backbone",
+        )
+    if name.startswith("densenet"):
+        from pyrapose_tpu.models.densenet import DenseNet
+
+        sizes = {
+            "densenet121": (6, 12, 24, 16),
+            "densenet169": (6, 12, 32, 32),
+            "densenet201": (6, 12, 48, 32),
+        }
+        if name not in sizes:
+            raise ValueError(f"unknown backbone {name!r}")
+        return DenseNet(
+            block_sizes=sizes[name], dtype=dtype, frozen_bn=frozen_bn,
+            name="backbone",
+        )
+    if name.startswith("efficientnet"):
+        from pyrapose_tpu.models.efficientnet import EfficientNet
+
+        scales = {
+            "efficientnetb0": (1.0, 1.0),
+            "efficientnetb1": (1.0, 1.1),
+            "efficientnetb2": (1.1, 1.2),
+            "efficientnetb3": (1.2, 1.4),
+        }
+        if name not in scales:
+            raise ValueError(f"unknown backbone {name!r}")
+        w, d = scales[name]
+        return EfficientNet(
+            width=w, depth=d, dtype=dtype, frozen_bn=frozen_bn, name="backbone"
+        )
+    raise ValueError(f"unknown backbone {name!r}")
+
+
+BACKBONE_NAMES = (
+    "resnet50", "resnet101", "resnet152",
+    "densenet121", "densenet169", "densenet201",
+    "efficientnetb0", "efficientnetb1", "efficientnetb2", "efficientnetb3",
+)
 
 
 class PyraPose(nn.Module):
@@ -59,14 +105,7 @@ class PyraPose(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> dict[str, jnp.ndarray]:
         cfg = self.config
-        if cfg.backbone not in _BACKBONES:
-            raise ValueError(f"unknown backbone {cfg.backbone!r}")
-        backbone = ResNet(
-            stage_sizes=_BACKBONES[cfg.backbone],
-            dtype=cfg.dtype,
-            frozen_bn=cfg.frozen_bn,
-            name="backbone",
-        )
+        backbone = _make_backbone(cfg.backbone, cfg.dtype, cfg.frozen_bn)
         c3, c4, c5 = backbone(images, train=train)
         p3, p4, p5 = PFPN(cfg.feature_size, dtype=cfg.dtype, name="pfpn")((c3, c4, c5))
 
