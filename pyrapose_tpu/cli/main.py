@@ -70,6 +70,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="import only the Caffe-named ImageNet backbone weights",
     )
 
+    a = sub.add_parser(
+        "annotate-bop",
+        help="convert BOP scene directories into the training layout",
+    )
+    a.add_argument("bop_root", help="BOP dataset root (scene dirs + models_info)")
+    a.add_argument("output", help="output dataset root")
+    a.add_argument("--set-name", default="train")
+    a.add_argument("--scenes", nargs="*", default=None)
+    a.add_argument("--min-visibility", type=float, default=0.0)
+    a.add_argument("--no-depth", action="store_true")
+
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--batch-size", type=int, default=16)
     b.add_argument("--iters", type=int, default=20)
@@ -121,6 +132,22 @@ def main(argv: list[str] | None = None) -> int:
         from pyrapose_tpu.cli.convert import run_convert
 
         return run_convert(args)
+    if args.command == "annotate-bop":
+        from pyrapose_tpu.data.annotate import annotate_bop
+
+        result = annotate_bop(
+            args.bop_root,
+            args.output,
+            set_name=args.set_name,
+            scenes=args.scenes,
+            min_visib=args.min_visibility,
+            copy_depth=not args.no_depth,
+        )
+        print(
+            f"wrote {len(result['images'])} images, "
+            f"{len(result['annotations'])} annotations to {args.output}"
+        )
+        return 0
     if args.command == "bench":
         import os
 
