@@ -13,8 +13,15 @@ XLA_FLAGS still applies).
 
 import os
 
+# --xla_cpu_multi_thread_eigen=false: on core-constrained machines (this
+# sandbox exposes a single CPU), 8 virtual devices each spinning up
+# multi-threaded Eigen pools starve XLA's collective rendezvous — device
+# threads miss the all-reduce join deadline and the runtime SIGABRTs.
+# Single-threaded Eigen keeps the 8 device threads schedulable.
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_multi_thread_eigen=false"
 ).strip()
 
 import jax  # noqa: E402

@@ -1,3 +1,5 @@
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -123,29 +125,99 @@ class TestPlateau:
         assert lr == pytest.approx(1e-7)
 
 
-class TestShardedStep:
-    def test_dp_over_8_cpu_devices(self, state, rng):
-        assert jax.device_count() == 8
-        mesh = create_mesh()
-        step = make_sharded_train_step(mesh, donate=False)
-        batch = shard_batch(_fake_batch(rng, batch=8), mesh)
-        s2, parts = step(state, batch)
-        assert np.isfinite(float(parts["loss"]))
-        # params stay replicated
-        leaf = s2.params["cls_head"]["out"]["kernel"]
-        assert leaf.sharding.is_fully_replicated
+# Sharded-step tests run in a SUBPROCESS, one sharded execution per process:
+# on this core-constrained CI host (single CPU exposed), XLA:CPU's collective
+# rendezvous aborts the process when a multi-device executable runs more than
+# once per process (thread starvation past the rendezvous terminate
+# deadline). One execution per process is reliable — it is also exactly the
+# driver's dryrun_multichip pattern. The tiny resnet10 backbone keeps the
+# subprocess compile short; the driver covers the full-size model.
+_SHARD_SCRIPT = r"""
+import os
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=8 --xla_cpu_multi_thread_eigen=false"
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import json
+import numpy as np
+import jax.numpy as jnp
+from pyrapose_tpu.models import ModelConfig
+from pyrapose_tpu.parallel import create_mesh, shard_batch
+from pyrapose_tpu.train import create_train_state, make_sharded_train_step
 
-    def test_dp_matches_single_device(self, state, rng):
-        """Gradient all-reduce over the mesh == big-batch single-device step."""
+H = W = 64
+C = 2
+cfg = ModelConfig(num_classes=C, backbone="resnet10", compute_dtype="float32")
+state = create_train_state(jax.random.PRNGKey(0), cfg, image_shape=(H, W))
+batch = json.loads(open({batch_path!r}).read())
+batch = {{k: np.asarray(v, np.float32) for k, v in batch.items()}}
+mesh = create_mesh()
+assert jax.device_count() == 8
+step = make_sharded_train_step(mesh, donate=False)
+s2, parts = step(state, shard_batch(batch, mesh))
+leaf = s2.params["cls_head"]["out"]["kernel"]
+out = {{
+    "loss": float(parts["loss"]),
+    "replicated": bool(leaf.sharding.is_fully_replicated),
+    "kernel": np.asarray(leaf).tolist(),
+}}
+open({out_path!r}, "w").write(json.dumps(out))
+"""
+
+
+def _run_sharded_subprocess(tmp_path, batch_np) -> dict:
+    import json
+    import subprocess
+    import sys
+
+    batch_path = str(tmp_path / "batch.json")
+    out_path = str(tmp_path / "out.json")
+    with open(batch_path, "w") as f:
+        json.dump({k: np.asarray(v).tolist() for k, v in batch_np.items()}, f)
+    cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    script = _SHARD_SCRIPT.format(
+        cache_dir=cache_dir, batch_path=batch_path, out_path=out_path
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.join(os.path.dirname(__file__), "..")
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True, text=True,
+        timeout=1200,
+    )
+    assert proc.returncode == 0, f"sharded subprocess failed:\n{proc.stderr[-3000:]}"
+    with open(out_path) as f:
+        return json.load(f)
+
+
+SHARD_CFG = ModelConfig(num_classes=C, backbone="resnet10", compute_dtype="float32")
+
+
+class TestShardedStep:
+    def test_dp_over_8_devices_and_matches_single(self, rng, tmp_path):
+        """DP over an 8-device mesh runs, keeps params replicated, and its
+        gradient all-reduce reproduces the big-batch single-device step."""
         batch_np = _fake_batch(rng, batch=8)
-        mesh = create_mesh()
-        step = make_sharded_train_step(mesh, donate=False)
-        s_dp, parts_dp = step(state, shard_batch(batch_np, mesh))
+        result = _run_sharded_subprocess(tmp_path, batch_np)
+        assert np.isfinite(result["loss"])
+        assert result["replicated"]
+
+        state = create_train_state(
+            jax.random.PRNGKey(0), SHARD_CFG, image_shape=(H, W)
+        )
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         s_single, parts_single = jax.jit(train_step)(state, batch)
-        assert float(parts_dp["loss"]) == pytest.approx(
+        assert result["loss"] == pytest.approx(
             float(parts_single["loss"]), rel=1e-5
         )
-        a = np.asarray(s_dp.params["cls_head"]["out"]["kernel"])
+        a = np.asarray(result["kernel"], np.float32)
         b = np.asarray(s_single.params["cls_head"]["out"]["kernel"])
         np.testing.assert_allclose(a, b, atol=1e-6)
