@@ -84,6 +84,18 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--batch-size", type=int, default=16)
     b.add_argument("--iters", type=int, default=20)
+
+    s = sub.add_parser("serve", help="HTTP pose-estimation server")
+    s.add_argument("dataset", choices=DATASETS)
+    s.add_argument("snapshot", nargs="?", default=None)
+    s.add_argument("--data-path", default=None)
+    s.add_argument("--backbone", default="resnet50")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8321)
+    s.add_argument("--score-threshold", type=float, default=0.5)
+    s.add_argument("--icp", action="store_true", help="depth-based ICP refine")
+    s.add_argument("--image-min-side", type=int, default=480)
+    s.add_argument("--image-max-side", type=int, default=640)
     return p
 
 
@@ -132,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
         from pyrapose_tpu.cli.convert import run_convert
 
         return run_convert(args)
+    if args.command == "serve":
+        from pyrapose_tpu.cli.serve import run_serve
+
+        return run_serve(args)
     if args.command == "annotate-bop":
         from pyrapose_tpu.data.annotate import annotate_bop
 
