@@ -37,8 +37,12 @@ def build_inference_fn(
         image_shape: static input resolution.
         with_pose: if False, stop after dense decode (detection-only path).
     """
+    from pyrapose_tpu.pose.ransac import precompute_class_solvers
+
     corners = jnp.asarray(corners3d)
     anchors = jnp.asarray(anchors_for_shape(image_shape, model.config.anchors))
+    # per-class EPnP constants hoisted to the host (corners are static)
+    precomp = precompute_class_solvers(corners3d)
 
     @jax.jit
     def infer(variables: Any, images_u8: jnp.ndarray, cam: jnp.ndarray):
@@ -51,7 +55,12 @@ def build_inference_fn(
         if not with_pose:
             return None, aux
         poses = jax.vmap(
-            partial(class_poses_from_dense, corners_3d=corners, config=ransac)
+            partial(
+                class_poses_from_dense,
+                corners_3d=corners,
+                config=ransac,
+                precomp=precomp,
+            )
         )(boxes3d, scores, cam=cam)
         return poses, aux
 

@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from pyrapose_tpu.pose.epnp import epnp
+from pyrapose_tpu.pose.epnp import epnp, epnp_fast, epnp_precompute
 from pyrapose_tpu.pose.refine import refine_pose
 from pyrapose_tpu.utils.precision import heinsum
 
@@ -39,6 +39,10 @@ class RansacConfig:
     inlier_px: float = 5.0  # reference RANSAC reprojErr
     refine_iterations: int = 5
     min_hyp_weight: float = 1e-3
+    # approximate top-k (TPU-optimized bitonic partial sort) for the vote
+    # gather; exact top_k costs ~2x more at N=56700 and the tournament +
+    # refinement wash out which near-tied votes enter the pool.
+    approx_top_k: bool = True
 
 
 class PoseResult(NamedTuple):
@@ -59,6 +63,7 @@ def ransac_pnp(
     corners_3d: jnp.ndarray,
     cam: jnp.ndarray,
     config: RansacConfig = RansacConfig(),
+    precomp: dict | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Hypothesize-and-verify PnP for one class's K corner votes.
 
@@ -68,6 +73,9 @@ def ransac_pnp(
         vote_valid: (K,) bool.
         corners_3d: (8, 3) object-frame box corners.
         cam: (4,) intrinsics.
+        precomp: optional epnp_precompute output for corners_3d — hoists the
+            per-class control-point setup out of the hot path (the fast
+            production route; build_inference_fn supplies it).
 
     Returns:
         (rot (3,3), trans (3,), inlier_frac ()).
@@ -77,7 +85,11 @@ def ransac_pnp(
 
     # One EPnP hypothesis per vote. Invalid votes still solve (fixed shape)
     # but are excluded from the tournament below.
-    solve = jax.vmap(lambda p2d: epnp(p2d, corners_3d, jnp.ones((8,)), cam))
+    ones8 = jnp.ones((8,))
+    if precomp is not None:
+        solve = jax.vmap(lambda p2d: epnp_fast(p2d, ones8, precomp, cam))
+    else:
+        solve = jax.vmap(lambda p2d: epnp(p2d, corners_3d, ones8, cam))
     rot_h, trans_h = solve(votes_2d)  # (K, 3, 3), (K, 3)
 
     # Project the 8 corners under every hypothesis.
@@ -120,12 +132,24 @@ def ransac_pnp(
     return rot, trans, inlier_frac
 
 
+def precompute_class_solvers(corners_3d) -> dict:
+    """Stacked epnp_precompute over classes: (C, 8, 3) -> pytree with a
+    leading class axis, for vmapping through class_poses_from_dense."""
+    import numpy as np
+
+    per_class = [epnp_precompute(c) for c in np.asarray(corners_3d)]
+    return {
+        key: np.stack([p[key] for p in per_class]) for key in per_class[0]
+    }
+
+
 def class_poses_from_dense(
     boxes3d: jnp.ndarray,
     scores: jnp.ndarray,
     corners_3d: jnp.ndarray,
     cam: jnp.ndarray,
     config: RansacConfig = RansacConfig(),
+    precomp: dict | None = None,
 ) -> PoseResult:
     """Per-class pose recovery from dense per-anchor predictions (one image).
 
@@ -134,29 +158,41 @@ def class_poses_from_dense(
         scores: (N, C) class probabilities.
         corners_3d: (C, 8, 3) object-frame box corners per class.
         cam: (4,) intrinsics.
+        precomp: optional precompute_class_solvers(corners_3d) output.
 
     Returns:
         PoseResult with leading class axis. vmap over images for batching.
     """
     num_classes = scores.shape[1]
 
-    def per_class(cls_scores: jnp.ndarray, cls_corners: jnp.ndarray):
+    def per_class(cls_scores: jnp.ndarray, cls_corners: jnp.ndarray, cls_pre):
         above = cls_scores > config.score_threshold
         num_votes = jnp.sum(above.astype(jnp.int32))
-        top_scores, top_idx = jax.lax.top_k(
-            jnp.where(above, cls_scores, -1.0), config.top_k
-        )
+        gated = jnp.where(above, cls_scores, -1.0)
+        if config.approx_top_k:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                gated, config.top_k, recall_target=0.95
+            )
+        else:
+            top_scores, top_idx = jax.lax.top_k(gated, config.top_k)
         vote_valid = top_scores > config.score_threshold
         votes = jnp.take(boxes3d, top_idx, axis=0).reshape(config.top_k, 8, 2)
         rot, trans, inlier_frac = ransac_pnp(
-            votes, top_scores, vote_valid, cls_corners, cam, config
+            votes, top_scores, vote_valid, cls_corners, cam, config,
+            precomp=cls_pre,
         )
         valid = num_votes >= config.min_votes
         return rot, trans, valid, num_votes, jnp.max(cls_scores), inlier_frac
 
-    rot, trans, valid, num_votes, score, inlier_frac = jax.vmap(
-        per_class, in_axes=(1, 0)
-    )(scores, corners_3d)
+    if precomp is not None:
+        pre = {k: jnp.asarray(v) for k, v in precomp.items()}
+        rot, trans, valid, num_votes, score, inlier_frac = jax.vmap(
+            per_class, in_axes=(1, 0, 0)
+        )(scores, corners_3d, pre)
+    else:
+        rot, trans, valid, num_votes, score, inlier_frac = jax.vmap(
+            lambda s, c: per_class(s, c, None), in_axes=(1, 0)
+        )(scores, corners_3d)
     del num_classes
     return PoseResult(
         rot=rot,

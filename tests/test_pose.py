@@ -187,3 +187,69 @@ class TestRansac:
         rot, t, _ = f(jnp.asarray(votes), jnp.asarray(scores))
         dr, dt = _pose_err(rot, t, rot_gt, t_gt)
         assert dr < 3.0 and dt < 0.02
+
+
+class TestEpnpFast:
+    """epnp_fast (hoisted constants + inverse iteration + Horn) must agree
+    with the reference epnp (eigh + SVD) path."""
+
+    def test_matches_epnp_on_random_poses(self, rng):
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        from pyrapose_tpu.data import LINEMOD_SPEC
+        from pyrapose_tpu.pose.epnp import epnp, epnp_fast, epnp_precompute
+
+        corners = LINEMOD_SPEC.corners3d[3]
+        cam = jnp.asarray([572.4114, 573.57043, 325.2611, 242.04899])
+        pre = epnp_precompute(corners)
+        for i in range(5):
+            rot = Rotation.random(random_state=i).as_matrix().astype(np.float32)
+            trans = np.array([0.05 * i - 0.1, 0.03, 0.9 + 0.1 * i], np.float32)
+            pc = corners @ rot.T + trans
+            u = pc[:, 0] * 572.4114 / pc[:, 2] + 325.2611
+            v = pc[:, 1] * 573.57043 / pc[:, 2] + 242.04899
+            p2d = jnp.asarray(np.stack([u, v], axis=1))
+            w = jnp.ones((8,))
+            r1, t1 = epnp(p2d, jnp.asarray(corners), w, cam)
+            r2, t2 = epnp_fast(p2d, w, pre, cam)
+            np.testing.assert_allclose(np.asarray(t2), trans, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(r2), rot, atol=2e-2)
+            np.testing.assert_allclose(np.asarray(t2), np.asarray(t1), atol=2e-3)
+
+    def test_fast_path_in_full_pipeline(self, rng):
+        """class_poses_from_dense with precomp recovers a planted pose."""
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        from pyrapose_tpu.data import LINEMOD_SPEC
+        from pyrapose_tpu.pose import RansacConfig
+        from pyrapose_tpu.pose.ransac import (
+            class_poses_from_dense,
+            precompute_class_solvers,
+        )
+
+        corners_all = LINEMOD_SPEC.corners3d[:3]
+        cam = jnp.asarray([572.4114, 573.57043, 325.2611, 242.04899])
+        rot = Rotation.random(random_state=7).as_matrix().astype(np.float32)
+        trans = np.array([0.02, -0.04, 1.1], np.float32)
+        pc = corners_all[1] @ rot.T + trans
+        u = pc[:, 0] * 572.4114 / pc[:, 2] + 325.2611
+        v = pc[:, 1] * 573.57043 / pc[:, 2] + 242.04899
+        votes16 = np.stack([u, v], axis=1).reshape(16)
+
+        n = 400
+        boxes3d = np.zeros((n, 16), np.float32)
+        scores = np.zeros((n, 3), np.float32)
+        for a in range(12):  # 12 identical perfect votes for class 1
+            boxes3d[a] = votes16
+            scores[a, 1] = 0.9
+        pre = precompute_class_solvers(corners_all)
+        poses = class_poses_from_dense(
+            jnp.asarray(boxes3d), jnp.asarray(scores), jnp.asarray(corners_all),
+            cam, RansacConfig(top_k=16), precomp=pre,
+        )
+        assert bool(poses.valid[1])
+        np.testing.assert_allclose(np.asarray(poses.trans[1]), trans, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(poses.rot[1]), rot, atol=5e-2)
+        assert not bool(poses.valid[0])
