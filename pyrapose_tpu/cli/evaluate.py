@@ -43,28 +43,44 @@ def run_evaluate(args) -> int:
     ransac = RansacConfig(score_threshold=args.score_threshold)
     infer = build_inference_fn(model, spec.corners3d, spec.image_shape, ransac)
 
+    use_icp = bool(getattr(args, "icp", False))
+    want_depth = not getattr(args, "no_depth", False)
+
     if args.dataset == "synthetic":
         from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
 
         ds = SyntheticPoseDataset(spec, num_images=64, seed=1)
+        with_depth = use_icp and want_depth
 
         def batches():
             for i in range(0, 64, args.batch_size):
-                yield ds.batch(list(range(i, min(i + args.batch_size, 64))))
+                yield ds.batch(
+                    list(range(i, min(i + args.batch_size, 64))),
+                    with_depth=with_depth,
+                )
 
     else:
         from pyrapose_tpu.data.datasets import create_dataset
 
         ds = create_dataset(args.dataset, args.data_path, args.set_name, spec=spec)
+        # depth drives VSD (tless) and --icp refinement; load it whenever the
+        # split ships _dep images (reference tless_eval.py:659-662)
+        with_depth = want_depth and ds.has_depth()
+        if use_icp and not with_depth:
+            print("WARNING: --icp requested but the split has no depth images; "
+                  "skipping ICP")
+            use_icp = False
 
         def batches():
-            yield from ds.epoch_batches(args.batch_size, shuffle=False)
+            yield from ds.epoch_batches(
+                args.batch_size, shuffle=False, with_depth=with_depth
+            )
 
     model_points = (
         load_model_points(args.data_path, spec) if args.data_path else None
     )
     evaluate_by_name(
         args.dataset, spec, infer, variables, batches(),
-        model_points=model_points, verbose=True,
+        model_points=model_points, verbose=True, icp=use_icp,
     )
     return 0

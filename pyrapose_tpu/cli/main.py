@@ -46,6 +46,17 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--score-threshold", type=float, default=0.5)  # evaluate.py:150
     e.add_argument("--image-min-side", type=int, default=480)  # evaluate.py:154
     e.add_argument("--image-max-side", type=int, default=640)
+    e.add_argument(
+        "--icp",
+        action="store_true",
+        help="refine poses with depth ICP before scoring (needs _dep images; "
+        "reference ycbv_eval.py:841-870)",
+    )
+    e.add_argument(
+        "--no-depth",
+        action="store_true",
+        help="skip loading depth images even when present (disables VSD/ICP)",
+    )
 
     i = sub.add_parser("infer", help="run inference on images, write poses JSON")
     i.add_argument("dataset", choices=DATASETS)

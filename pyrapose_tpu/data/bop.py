@@ -79,6 +79,7 @@ class BopDataset:
         augment: AugmentConfig | None = None,
         visibility_threshold: float = 0.5,
         seed: int = 0,
+        depth_scale: float = 1e-3,
     ):
         self.data_dir = data_dir
         self.set_name = set_name
@@ -86,6 +87,8 @@ class BopDataset:
         self.augment = augment
         self.visibility_threshold = visibility_threshold
         self.rng = np.random.default_rng(seed)
+        # uint16 depth PNG value -> meters (BOP stores mm)
+        self.depth_scale = depth_scale
 
         self.spec = spec if spec is not None else dataset_spec(name, data_dir)
         # BOP object id -> contiguous class label
@@ -138,11 +141,42 @@ class BopDataset:
             return None
         return np.asarray(Image.open(path))
 
+    def load_depth(self, index: int) -> np.ndarray | None:
+        """(H, W) float32 depth in meters, or None when absent.
+
+        Probes the `_dep` then `_dep_raw` file conventions of the reference
+        loader (preprocessing/linemod.py:178-201); uint16 PNG values are
+        scaled by depth_scale (BOP convention: mm -> m).
+        """
+        info = self.images[index]
+        for suffix in ("_dep", "_dep_raw"):
+            path = self._image_path(info, suffix)
+            if os.path.exists(path):
+                raw = np.asarray(Image.open(path))
+                return raw.astype(np.float32) * self.depth_scale
+        return None
+
+    def has_depth(self) -> bool:
+        if not self.images:
+            return False
+        return any(
+            os.path.exists(self._image_path(self.images[0], s))
+            for s in ("_dep", "_dep_raw")
+        )
+
     def _parse_pose(self, pose: list[float]) -> tuple[np.ndarray, np.ndarray]:
         pose = np.asarray(pose, np.float64)
         trans = pose[:3]
-        if abs(trans[2]) > 10.0:  # stored in mm -> meters
-            trans = trans / 1000.0
+        scale = self.spec.pose_unit_scale
+        if scale is None:
+            # Auto unit detection, matching the reference's own guess
+            # (preprocessing/linemod.py:238-241 scales poses whose z is
+            # implausibly small for mm). Datasets with a declared unit set
+            # spec.pose_unit_scale instead.
+            if abs(trans[2]) > 10.0:  # stored in mm -> meters
+                trans = trans / 1000.0
+        else:
+            trans = trans * scale
         if len(pose) == 7:
             rot = _quat_to_mat_np(pose[3:7])
         else:
@@ -155,7 +189,14 @@ class BopDataset:
         mask_img = self.load_mask(index)
 
         boxes, rots, transs, labels, mask_ids = [], [], [], [], []
+        # Per-image intrinsics: the FIRST annotation carrying a K wins (all
+        # annotations of one image share the physical camera; T-LESS's
+        # per-annotation K exists because its train images are per-object
+        # crops — one object per image, preprocessing/tless.py:174). A
+        # mixed-K image would be malformed data; warn rather than silently
+        # keep the last one.
         cam = self._intrinsics(info)
+        cam_from_ann = False
         for ann in self.anns_by_image.get(info["id"], []):
             if (
                 self.set_name == "train" or self.visibility_filter_all_splits
@@ -171,7 +212,18 @@ class BopDataset:
             transs.append(trans)
             labels.append(self.obj_to_label[oid])
             mask_ids.append(ann.get("mask_id", -1))
-            cam = self._intrinsics(info, ann)
+            if "K" in ann:
+                ann_cam = self._intrinsics(info, ann)
+                if not cam_from_ann:
+                    cam = ann_cam
+                    cam_from_ann = True
+                elif not np.allclose(ann_cam, cam):
+                    import warnings
+
+                    warnings.warn(
+                        f"image {info['id']}: annotations carry differing K; "
+                        "using the first"
+                    )
 
         boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
         rots = np.asarray(rots, np.float32).reshape(-1, 3, 3)
@@ -208,15 +260,35 @@ class BopDataset:
             slots[small == mid] = slot
         return slots.reshape(-1)
 
-    def batch(self, indices: list[int]) -> tuple[np.ndarray, GroundTruth]:
-        images, gts = zip(*(self.sample(i) for i in indices))
-        return np.stack(images), stack_ground_truth(list(gts))
+    def batch(self, indices: list[int], with_depth: bool = False):
+        """(images, gt[, depth]) stacked over indices.
 
-    def epoch_batches(self, batch_size: int, shuffle: bool = True):
-        """Yield (images, gt) batches covering the dataset once."""
+        with_depth adds a (B, H, W) float32 meter depth array (zeros where a
+        frame has no depth file) — the eval-side input for VSD and ICP
+        refinement (reference tless_eval.py:659-662, ycbv_eval.py:841-870).
+        Depth is never augmented: it is a test-time signal only.
+        """
+        images, gts = zip(*(self.sample(i) for i in indices))
+        out = (np.stack(images), stack_ground_truth(list(gts)))
+        if not with_depth:
+            return out
+        if self.augment is not None:
+            raise ValueError("with_depth requires an un-augmented dataset")
+        h, w = self.spec.image_shape
+        depth = np.zeros((len(indices), h, w), np.float32)
+        for j, i in enumerate(indices):
+            d = self.load_depth(i)
+            if d is not None:
+                depth[j, : d.shape[0], : d.shape[1]] = d[:h, :w]
+        return out + (depth,)
+
+    def epoch_batches(
+        self, batch_size: int, shuffle: bool = True, with_depth: bool = False
+    ):
+        """Yield (images, gt[, depth]) batches covering the dataset once."""
         order = np.arange(len(self))
         if shuffle:
             self.rng.shuffle(order)
         usable = len(order) - len(order) % batch_size
         for i in range(0, usable, batch_size):
-            yield self.batch(list(order[i : i + batch_size]))
+            yield self.batch(list(order[i : i + batch_size]), with_depth=with_depth)

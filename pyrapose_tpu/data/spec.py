@@ -53,7 +53,11 @@ class DatasetSpec:
     symmetric: tuple[int, ...] = ()  # class ids evaluated with ADI
     class_to_obj_id: tuple[int, ...] = ()  # class index -> BOP object id
     image_shape: tuple[int, int] = (480, 640)
-    pose_unit_scale: float = 1.0  # applied to translations at load (m->m)
+    # Stored-pose-translation -> meters factor applied at load: 1.0 for
+    # meters-native annotations, 1e-3 for mm. None = auto-detect per
+    # annotation, matching the reference's own guess (linemod.py:238-241) —
+    # the right default for mixed-provenance BOP conversions.
+    pose_unit_scale: float | None = None
 
     def is_symmetric(self, cls: int) -> bool:
         return cls in self.symmetric

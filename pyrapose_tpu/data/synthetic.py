@@ -113,7 +113,57 @@ class SyntheticPoseDataset:
         )
         return image, gt
 
-    def batch(self, indices: list[int]) -> tuple[np.ndarray, GroundTruth]:
-        """Stacked batch of images (B, H, W, 3 uint8) and GroundTruth."""
+    def _box_surface_points(self, cls: int, n: int = 16) -> np.ndarray:
+        """Dense grid on the 6 faces of the class's 3D box (object frame)."""
+        c = self.spec.corners3d[cls]
+        lo, hi = c.min(axis=0), c.max(axis=0)
+        t = np.linspace(0.0, 1.0, n)
+        u, v = np.meshgrid(t, t, indexing="ij")
+        u, v = u.ravel(), v.ravel()
+        faces = []
+        for axis in range(3):
+            a, b = (axis + 1) % 3, (axis + 2) % 3
+            for val in (lo[axis], hi[axis]):
+                pts = np.empty((n * n, 3), np.float32)
+                pts[:, axis] = val
+                pts[:, a] = lo[a] + u * (hi[a] - lo[a])
+                pts[:, b] = lo[b] + v * (hi[b] - lo[b])
+                faces.append(pts)
+        return np.concatenate(faces, axis=0)
+
+    def render_depth(self, index: int) -> np.ndarray:
+        """(H, W) float32 meter depth of the scene: z-buffer splat of dense
+        box-surface points under the GT poses (0 = no data). Test-grade
+        stand-in for a real sensor depth image, enough to drive the VSD and
+        ICP paths end-to-end."""
+        _, gt = self.sample(index)
+        h, w = self.spec.image_shape
+        fx, fy, cx, cy = self.intrinsics
+        depth = np.zeros((h, w), np.float32)
+        zbuf = np.full((h, w), np.inf, np.float32)
+        for k in range(self.max_instances):
+            if not gt.valid[k]:
+                continue
+            pts = self._box_surface_points(int(gt.labels[k]))
+            pc = pts @ np.asarray(gt.rot[k]).T + np.asarray(gt.trans[k])
+            z = pc[:, 2]
+            ok = z > 1e-6
+            u = np.clip((pc[ok, 0] * fx / z[ok] + cx).astype(int), 0, w - 1)
+            v = np.clip((pc[ok, 1] * fy / z[ok] + cy).astype(int), 0, h - 1)
+            zo = z[ok]
+            order = np.argsort(-zo)  # far first so near overwrites
+            u, v, zo = u[order], v[order], zo[order]
+            closer = zo < zbuf[v, u]
+            zbuf[v[closer], u[closer]] = zo[closer]
+            depth[v[closer], u[closer]] = zo[closer]
+        return depth
+
+    def batch(self, indices: list[int], with_depth: bool = False):
+        """Stacked batch of images (B, H, W, 3 uint8) and GroundTruth
+        (+ synthetic depth when with_depth)."""
         images, gts = zip(*(self.sample(i) for i in indices))
-        return np.stack(images), stack_ground_truth(list(gts))
+        out = (np.stack(images), stack_ground_truth(list(gts)))
+        if not with_depth:
+            return out
+        depth = np.stack([self.render_depth(i) for i in indices])
+        return out + (depth,)

@@ -125,6 +125,85 @@ def make_add_fn(model_points: np.ndarray, diameters: np.ndarray, symmetric: tupl
     return score
 
 
+def make_icp_refine_fn(
+    model_points: np.ndarray,
+    iterations: int = 10,
+    max_corr_dist: float = 0.02,
+    min_mask_area: int = 3000,
+    stride: int = 8,
+    min_scene_points: int = 16,
+):
+    """Jitted depth-ICP pose refinement over a batch of images.
+
+    The eval-time counterpart of the reference's depth refinement
+    (ycbv_eval.py:841-870 / linemod_eval.py:73-139 get_evaluation_kiru):
+    each detected class's pose is refined by fixed-iteration point-to-plane
+    ICP (pose/icp.py) against the test depth, gated to the predicted P3
+    mask (the reference crops the cloud by mask and requires mask area
+    > 3000 px, pyrapose_node.py:662-672). Scene points come from the depth
+    image subsampled by `stride`; each point is gated by its P3 mask cell.
+    """
+    from pyrapose_tpu.pose.icp import (
+        depth_to_points,
+        estimate_normals_host,
+        icp_point_to_plane,
+    )
+
+    points = jnp.asarray(model_points, jnp.float32)  # (C, P, 3)
+    normals = jnp.asarray(
+        np.stack([estimate_normals_host(p) for p in np.asarray(model_points)]),
+        jnp.float32,
+    )
+
+    @jax.jit
+    def refine(poses: PoseResult, masks_p3, depth, cam):
+        """poses: batched PoseResult (B, C, ...); masks_p3 (B, P3, C);
+        depth (B, H, W) meters; cam (B, 4)."""
+        h, w = depth.shape[1], depth.shape[2]
+        p3h, p3w = (h + 7) // 8, (w + 7) // 8
+        sh, sw = -(-h // stride), -(-w // stride)
+        # P3 mask cell index of every strided depth pixel
+        ys = (jnp.arange(sh) * stride) // 8
+        xs = (jnp.arange(sw) * stride) // 8
+        cell = (ys[:, None] * p3w + xs[None, :]).reshape(-1)  # (S,)
+
+        def one_image(args):
+            rot_c, trans_c, valid_c, masks, dep, k = args
+            sp, sv = depth_to_points(dep, k, stride=stride)  # (S, 3), (S,)
+
+            def per_class(rot, trans, valid, mask_c, mp, mn):
+                m = jnp.take(mask_c, cell) > 0.5  # per scene point
+                area_fullres = jnp.sum(mask_c > 0.5) * 64  # P3 cell = 8x8 px
+                sv_c = sv & m
+                r2, t2, _ = icp_point_to_plane(
+                    rot, trans, mp, mn, sp, sv_c,
+                    iterations=iterations, max_corr_dist=max_corr_dist,
+                )
+                use = (
+                    valid
+                    & (area_fullres > min_mask_area)
+                    & (jnp.sum(sv_c) >= min_scene_points)
+                )
+                return (
+                    jnp.where(use, r2, rot),
+                    jnp.where(use, t2, trans),
+                )
+
+            return jax.vmap(per_class)(
+                rot_c, trans_c, valid_c, masks.T, points, normals
+            )
+
+        # lax.map over images bounds the pairwise-distance working set to
+        # one image's classes at a time.
+        rot, trans = jax.lax.map(
+            one_image,
+            (poses.rot, poses.trans, poses.valid, masks_p3, depth, cam),
+        )
+        return poses._replace(rot=rot, trans=trans)
+
+    return refine
+
+
 def evaluate_dataset(
     spec: DatasetSpec,
     infer_fn: Callable,
@@ -132,22 +211,46 @@ def evaluate_dataset(
     batches: Iterable[tuple[np.ndarray, GroundTruth]],
     model_points: np.ndarray | None = None,
     verbose: bool = True,
+    icp: bool = False,
+    icp_iterations: int = 10,
+    icp_max_corr_dist: float = 0.02,
 ) -> dict:
-    """Run the full ADD(-S) protocol over an iterable of (images, gt) batches.
+    """Run the full ADD(-S) protocol over an iterable of (images, gt[, depth])
+    batches.
 
     model_points: (C, P, 3) sampled model clouds for ADD; defaults to the box
     corners (exact for box-like metrics parity tests; real datasets should
     pass sampled mesh points like the reference's PLY clouds).
+    icp: refine each detected pose against the batch's depth image before
+    scoring (requires 3-tuple batches with depth; reference
+    ycbv_eval.py:841-870).
     """
     if model_points is None:
         model_points = spec.corners3d
     scorer = make_add_fn(model_points, spec.diameters, spec.symmetric)
     acc = EvalAccumulator(spec.num_classes)
     per_image_score = jax.vmap(scorer, in_axes=(0, 0, 0, 0, 0))
+    refine_fn = (
+        make_icp_refine_fn(
+            model_points,
+            iterations=icp_iterations,
+            max_corr_dist=icp_max_corr_dist,
+        )
+        if icp
+        else None
+    )
 
-    for images_u8, gt in batches:
+    for batch in batches:
+        images_u8, gt = batch[0], batch[1]
+        depth = batch[2] if len(batch) > 2 else None
         cam = jnp.asarray(gt.cam)
         poses, _aux = infer_fn(variables, jnp.asarray(images_u8), cam)
+        if refine_fn is not None:
+            if depth is None:
+                raise ValueError("icp=True requires (images, gt, depth) batches")
+            poses = refine_fn(
+                poses, _aux["masks"], jnp.asarray(depth, jnp.float32), cam
+            )
         has_gt, correct, _err = per_image_score(
             poses,
             jnp.asarray(gt.rot),

@@ -69,33 +69,45 @@ def load_model_points(
 
 
 def evaluate_linemod(spec, infer_fn, variables, batches, model_points=None,
-                     verbose=True) -> dict:
-    """LineMOD ADD(-S) < 0.1d (linemod_eval.py:216-663)."""
+                     verbose=True, icp=False) -> dict:
+    """LineMOD ADD(-S) < 0.1d (linemod_eval.py:216-663); optional depth-ICP
+    refinement (the reference's get_evaluation_kiru helper,
+    linemod_eval.py:41-139)."""
     return evaluate_dataset(spec, infer_fn, variables, batches,
-                            model_points=model_points, verbose=verbose)
+                            model_points=model_points, verbose=verbose,
+                            icp=icp)
 
 
 def evaluate_occlusion(spec, infer_fn, variables, batches, model_points=None,
-                       verbose=True) -> dict:
+                       verbose=True, icp=False) -> dict:
     """Occlusion-LineMOD ADD(-S) < 0.1d over the 8 LM-O objects
-    (occlusion_eval.py:221-540)."""
+    (occlusion_eval.py:221-540). No ICP in the reference protocol, but the
+    flag is honored for parity experiments."""
     return evaluate_dataset(spec, infer_fn, variables, batches,
-                            model_points=model_points, verbose=verbose)
+                            model_points=model_points, verbose=verbose,
+                            icp=icp)
 
 
 def evaluate_ycbv(spec, infer_fn, variables, batches, model_points=None,
-                  verbose=True) -> dict:
+                  verbose=True, icp=False) -> dict:
     """YCB-Video ADD(-S) < 0.1d over the 5 trained objects
-    (ycbv_eval.py:916-919; symmetric set via the spec)."""
+    (ycbv_eval.py:916-919; symmetric set via the spec). The reference's
+    protocol refines with depth-mask ICP before scoring
+    (ycbv_eval.py:841-870) — pass icp=True with depth batches for that
+    variant. YCB-V's correspondence gate is looser: 0.015 m like the
+    reference's open3d call."""
     return evaluate_dataset(spec, infer_fn, variables, batches,
-                            model_points=model_points, verbose=verbose)
+                            model_points=model_points, verbose=verbose,
+                            icp=icp, icp_max_corr_dist=0.015)
 
 
 def evaluate_homebrewed(spec, infer_fn, variables, batches, model_points=None,
-                        verbose=True) -> dict:
-    """HomebrewedDB ADD < 0.1d (homebrewed_eval.py:615-637)."""
+                        verbose=True, icp=False) -> dict:
+    """HomebrewedDB ADD < 0.1d (homebrewed_eval.py:615-637; the spec carries
+    no symmetric classes — plain ADD only)."""
     return evaluate_dataset(spec, infer_fn, variables, batches,
-                            model_points=model_points, verbose=verbose)
+                            model_points=model_points, verbose=verbose,
+                            icp=icp)
 
 
 def evaluate_coco(detections, annotations, num_classes: int) -> dict:
@@ -123,11 +135,12 @@ def evaluate_by_name(
     batches: Iterable,
     model_points: np.ndarray | None = None,
     verbose: bool = True,
+    icp: bool = False,
 ) -> dict:
     """Dispatch to the dataset's protocol (bin/evaluate.py:224-242)."""
     if name not in _DRIVERS:
         raise ValueError(f"no eval driver for {name!r}")
     return _DRIVERS[name](
         spec, infer_fn, variables, batches, model_points=model_points,
-        verbose=verbose,
+        verbose=verbose, icp=icp,
     )

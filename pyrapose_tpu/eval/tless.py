@@ -175,11 +175,21 @@ def evaluate_tless(
     vsd_delta: float = 0.3,
     vsd_tau: float = 20.0,
     verbose: bool = True,
+    icp: bool = False,
 ) -> dict:
     """Full T-LESS protocol over (images, gt[, depth]) batches.
 
-    depth (optional, mm): per-image test depth for the VSD tally.
+    depth (optional, meters): per-image test depth; drives the VSD tally
+    (converted to mm internally — the reference's VSD works in mm,
+    tless_eval.py:659-662) and, when icp=True, pre-scoring pose refinement.
     """
+    icp_refine = None
+    if icp:
+        from pyrapose_tpu.eval.driver import make_icp_refine_fn
+
+        icp_refine = make_icp_refine_fn(
+            model_points if model_points is not None else spec.corners3d
+        )
     if model_points is None:
         model_points = spec.corners3d
     scorer = make_tless_scorer(model_points, spec.diameters)
@@ -198,6 +208,12 @@ def evaluate_tless(
         depth = batch[2] if len(batch) > 2 else None
         cam = jnp.asarray(gt.cam)
         poses, _aux = infer_fn(variables, jnp.asarray(images_u8), cam)
+        if icp_refine is not None:
+            if depth is None:
+                raise ValueError("icp=True requires (images, gt, depth) batches")
+            poses = icp_refine(
+                poses, _aux["masks"], jnp.asarray(depth, jnp.float32), cam
+            )
         per_image = jax.vmap(scorer, in_axes=(0, None, 0, 0, 0, 0, 0))
         (has_gt, err_adi, err_add, rot_err, t_err, rep_err, det_box, dia) = map(
             np.asarray,
@@ -257,7 +273,9 @@ def evaluate_tless(
                             jnp.asarray(gt.rot[b, slot]),
                             jnp.asarray(gt.trans[b, slot]) * 1000.0,
                             points_mm[c],
-                            jnp.asarray(depth[b], jnp.float32),
+                            # loader depth is meters; VSD works in mm
+                            # (tless_eval.py:659-662)
+                            jnp.asarray(depth[b], jnp.float32) * 1000.0,
                             cam[b],
                         )
                     )

@@ -1,3 +1,9 @@
 from pyrapose_tpu.pose.epnp import epnp
 from pyrapose_tpu.pose.refine import refine_pose
-from pyrapose_tpu.pose.ransac import ransac_pnp, RansacConfig, class_poses_from_dense
+from pyrapose_tpu.pose.ransac import (
+    MultiPoseResult,
+    RansacConfig,
+    class_multi_poses_from_dense,
+    class_poses_from_dense,
+    ransac_pnp,
+)

@@ -117,10 +117,13 @@ def icp_point_to_plane(
         ok = jnp.sum(w) >= 6.0
         delta = jnp.where(ok, delta, jnp.zeros_like(delta))
 
-        rot_new = heinsum(
-            "ij,jk->ik", axis_angle_to_matrix(delta[:3]).astype(f32), rot
-        )
-        trans_new = trans + delta[3:]
+        # The linearization is about camera-frame points p = R p0 + t
+        # (residual uses posed points), so the incremental transform acts on
+        # the WHOLE pose: R' = dR R, t' = dR t + dt. Omitting dR on t
+        # injects an error of |omega x t| per iteration.
+        drot = axis_angle_to_matrix(delta[:3]).astype(f32)
+        rot_new = heinsum("ij,jk->ik", drot, rot)
+        trans_new = heinsum("ij,j->i", drot, trans) + delta[3:]
         rmse = jnp.sqrt(
             jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0)
         )

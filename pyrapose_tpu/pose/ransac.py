@@ -43,6 +43,15 @@ class RansacConfig:
     # gather; exact top_k costs ~2x more at N=56700 and the tournament +
     # refinement wash out which near-tied votes enter the pool.
     approx_top_k: bool = True
+    # instances recovered per class: greedy non-maximum suppression over the
+    # hypothesis tournament — pick the winner, knock out its inlier votes,
+    # re-score, repeat. 1 reproduces the reference's per-class loop; T-LESS
+    # style multi-copy scenes need > 1 (reference handles those by iterating
+    # NMS detections instead, tless_eval.py:312-436).
+    max_instances: int = 1
+    # a secondary instance counts only if it keeps at least this many
+    # fresh inlier votes after earlier instances claimed theirs
+    min_instance_votes: int = 10
 
 
 class PoseResult(NamedTuple):
@@ -54,6 +63,22 @@ class PoseResult(NamedTuple):
     num_votes: jnp.ndarray  # (C,) int32 — anchors above threshold
     score: jnp.ndarray  # (C,) float — max class score
     inlier_frac: jnp.ndarray  # (C,) float — inliers / (K*8) for the winner
+
+
+class MultiPoseResult(NamedTuple):
+    """Per-class, per-instance pose estimates for one image.
+
+    Leading axes = (class, instance). Instance 0 is the tournament winner
+    (identical to PoseResult); instances 1..N-1 are successive greedy
+    vote-cluster winners for multi-copy scenes.
+    """
+
+    rot: jnp.ndarray  # (C, N, 3, 3)
+    trans: jnp.ndarray  # (C, N, 3)
+    valid: jnp.ndarray  # (C, N) bool
+    num_votes: jnp.ndarray  # (C,) int32 — anchors above threshold (class)
+    score: jnp.ndarray  # (C, N) float — seed-vote score per instance
+    inlier_frac: jnp.ndarray  # (C, N) float
 
 
 def ransac_pnp(
@@ -80,7 +105,31 @@ def ransac_pnp(
     Returns:
         (rot (3,3), trans (3,), inlier_frac ()).
     """
+    rot, trans, _valid, _score, inlier_frac = _ransac_pnp_instances(
+        votes_2d, vote_scores, vote_valid, corners_3d, cam,
+        dataclasses.replace(config, max_instances=1), precomp
+    )
+    return rot[0], trans[0], inlier_frac[0]
+
+
+def _ransac_pnp_instances(
+    votes_2d: jnp.ndarray,
+    vote_scores: jnp.ndarray,
+    vote_valid: jnp.ndarray,
+    corners_3d: jnp.ndarray,
+    cam: jnp.ndarray,
+    config: RansacConfig,
+    precomp: dict | None = None,
+):
+    """Greedy multi-instance hypothesize-and-verify PnP for one class.
+
+    Instance 0 is the plain tournament winner; each further instance is the
+    winner among hypotheses re-scored after earlier winners' inlier votes
+    were suppressed (vote-cluster NMS). Returns per-instance
+    (rot (N,3,3), trans (N,3), valid (N,), score (N,), inlier_frac (N,)).
+    """
     k = votes_2d.shape[0]
+    n_inst = config.max_instances
     w_valid = jnp.where(vote_valid, vote_scores, 0.0)
 
     # One EPnP hypothesis per vote. Invalid votes still solve (fixed shape)
@@ -104,32 +153,62 @@ def ransac_pnp(
     diff = proj[:, None, :, :] - votes_2d[None, :, :, :]  # (H, V, 8, 2)
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
     inlier = (dist < config.inlier_px) & vote_valid[None, :, None]
-    hyp_score = jnp.sum(inlier * w_valid[None, :, None], axis=(1, 2))  # (H,)
     # A hypothesis from an invalid vote (or behind-camera solution) is out.
     hyp_ok = vote_valid & (jnp.mean(pc[..., 2], axis=-1) > 0.0)
-    hyp_score = jnp.where(hyp_ok, hyp_score, -1.0)
+    # A vote is "claimed" by a hypothesis when most of its corners agree —
+    # the unit of suppression between instances.
+    claims = jnp.mean(inlier, axis=-1) >= 0.5  # (H, V)
 
-    best = jnp.argmax(hyp_score)
-    rot0 = rot_h[best]
-    trans0 = trans_h[best]
-    inlier_best = inlier[best]  # (V, 8)
+    def select(remaining, _):
+        live = inlier & remaining[None, :, None]
+        hyp_score = jnp.sum(live * w_valid[None, :, None], axis=(1, 2))
+        hyp_score = jnp.where(hyp_ok & remaining, hyp_score, -1.0)
+        best = jnp.argmax(hyp_score)
+        claimed = claims[best] & remaining  # fresh votes this instance takes
+        n_fresh = jnp.sum(claimed & vote_valid)
+        inst_valid = (hyp_score[best] > 0.0) & (
+            n_fresh >= config.min_instance_votes
+        )
+        at_selection = remaining
+        remaining = remaining & ~claimed
+        return remaining, (best, inst_valid, at_selection, n_fresh)
 
-    # Refine over all inlier correspondences, weighted by vote score.
-    pts2d = votes_2d.reshape(k * 8, 2)
-    pts3d = jnp.tile(corners_3d, (k, 1))
-    weights = (inlier_best * w_valid[:, None]).reshape(k * 8)
-    # Guard: if no inliers at all, keep weights uniform over valid votes so
-    # GN stays well-posed (result is discarded via the valid flag anyway).
-    wsum = jnp.sum(weights)
-    fallback = (vote_valid[:, None] * jnp.ones((k, 8))).reshape(k * 8)
-    weights = jnp.where(wsum > config.min_hyp_weight, weights, fallback)
-    rot, trans = refine_pose(
-        rot0, trans0, pts2d, pts3d, weights, cam, iterations=config.refine_iterations
+    remaining0 = vote_valid
+    _, (best_idx, inst_valid, remaining_at, _n_fresh) = jax.lax.scan(
+        select, remaining0, None, length=n_inst
     )
-    inlier_frac = jnp.sum(inlier_best * vote_valid[:, None]) / jnp.maximum(
-        jnp.sum(vote_valid) * 8.0, 1.0
+    # Instance 0 keeps the single-instance semantics: the class-level
+    # min_votes gate lives in class_poses_from_dense, not here.
+    inst_valid = inst_valid.at[0].set(True)
+
+    def refine_one(best, avail):
+        """Refine over the winner's inlier correspondences among the votes
+        still available when it was selected (for instance 0 that is every
+        valid vote — identical to the single-instance path)."""
+        rot0 = rot_h[best]
+        trans0 = trans_h[best]
+        inlier_best = inlier[best] & avail[:, None]  # (V, 8)
+        pts2d = votes_2d.reshape(k * 8, 2)
+        pts3d = jnp.tile(corners_3d, (k, 1))
+        weights = (inlier_best * w_valid[:, None]).reshape(k * 8)
+        # Guard: if no inliers at all, keep weights uniform over valid votes
+        # so GN stays well-posed (result is discarded via the valid flag).
+        wsum = jnp.sum(weights)
+        fallback = (vote_valid[:, None] * jnp.ones((k, 8))).reshape(k * 8)
+        weights = jnp.where(wsum > config.min_hyp_weight, weights, fallback)
+        rot, trans = refine_pose(
+            rot0, trans0, pts2d, pts3d, weights, cam,
+            iterations=config.refine_iterations,
+        )
+        inlier_frac = jnp.sum(inlier_best * vote_valid[:, None]) / jnp.maximum(
+            jnp.sum(vote_valid) * 8.0, 1.0
+        )
+        return rot, trans, inlier_frac, vote_scores[best]
+
+    rot, trans, inlier_frac, seed_score = jax.vmap(refine_one)(
+        best_idx, remaining_at
     )
-    return rot, trans, inlier_frac
+    return rot, trans, inst_valid, seed_score, inlier_frac
 
 
 def precompute_class_solvers(corners_3d) -> dict:
@@ -163,7 +242,35 @@ def class_poses_from_dense(
     Returns:
         PoseResult with leading class axis. vmap over images for batching.
     """
-    num_classes = scores.shape[1]
+    multi = class_multi_poses_from_dense(
+        boxes3d, scores, corners_3d, cam,
+        dataclasses.replace(config, max_instances=1), precomp,
+    )
+    return PoseResult(
+        rot=multi.rot[:, 0],
+        trans=multi.trans[:, 0],
+        valid=multi.valid[:, 0],
+        num_votes=multi.num_votes,
+        score=multi.score[:, 0],
+        inlier_frac=multi.inlier_frac[:, 0],
+    )
+
+
+def class_multi_poses_from_dense(
+    boxes3d: jnp.ndarray,
+    scores: jnp.ndarray,
+    corners_3d: jnp.ndarray,
+    cam: jnp.ndarray,
+    config: RansacConfig = RansacConfig(),
+    precomp: dict | None = None,
+) -> MultiPoseResult:
+    """Per-class, multi-instance pose recovery from dense predictions.
+
+    Same contract as class_poses_from_dense but recovers up to
+    config.max_instances poses per class by greedy vote-cluster suppression
+    (the capability the reference reaches via per-detection loops on T-LESS
+    multi-copy scenes, tless_eval.py:312-436). vmap over images to batch.
+    """
 
     def per_class(cls_scores: jnp.ndarray, cls_corners: jnp.ndarray, cls_pre):
         above = cls_scores > config.score_threshold
@@ -177,12 +284,18 @@ def class_poses_from_dense(
             top_scores, top_idx = jax.lax.top_k(gated, config.top_k)
         vote_valid = top_scores > config.score_threshold
         votes = jnp.take(boxes3d, top_idx, axis=0).reshape(config.top_k, 8, 2)
-        rot, trans, inlier_frac = ransac_pnp(
-            votes, top_scores, vote_valid, cls_corners, cam, config,
-            precomp=cls_pre,
+        rot, trans, inst_valid, seed_score, inlier_frac = (
+            _ransac_pnp_instances(
+                votes, top_scores, vote_valid, cls_corners, cam, config,
+                precomp=cls_pre,
+            )
         )
-        valid = num_votes >= config.min_votes
-        return rot, trans, valid, num_votes, jnp.max(cls_scores), inlier_frac
+        # class-level detection gate (reference linemod_eval.py:331-334)
+        detected = num_votes >= config.min_votes
+        valid = inst_valid & detected
+        # instance 0's reported score keeps the class-max semantics
+        score = seed_score.at[0].set(jnp.max(cls_scores))
+        return rot, trans, valid, num_votes, score, inlier_frac
 
     if precomp is not None:
         pre = {k: jnp.asarray(v) for k, v in precomp.items()}
@@ -193,8 +306,7 @@ def class_poses_from_dense(
         rot, trans, valid, num_votes, score, inlier_frac = jax.vmap(
             lambda s, c: per_class(s, c, None), in_axes=(1, 0)
         )(scores, corners_3d)
-    del num_classes
-    return PoseResult(
+    return MultiPoseResult(
         rot=rot,
         trans=trans,
         valid=valid,

@@ -125,23 +125,15 @@ class TestPlateau:
         assert lr == pytest.approx(1e-7)
 
 
-# Sharded-step tests run in a SUBPROCESS, one sharded execution per process:
-# on this core-constrained CI host (single CPU exposed), XLA:CPU's collective
-# rendezvous aborts the process when a multi-device executable runs more than
-# once per process (thread starvation past the rendezvous terminate
-# deadline). One execution per process is reliable — it is also exactly the
-# driver's dryrun_multichip pattern. The tiny resnet10 backbone keeps the
-# subprocess compile short; the driver covers the full-size model.
+# Sharded-step tests run in a SUBPROCESS with the cpu-mesh environment from
+# __graft_entry__.cpu_mesh_env: N-device virtual CPU mesh, single-threaded
+# Eigen, raised collective rendezvous deadlines (the root-cause fix for the
+# historical single-core SIGABRT flake), CPU-feature-keyed compile cache.
+# The tiny resnet10 backbone keeps the subprocess compile short; the driver
+# covers the full-size model.
 _SHARD_SCRIPT = r"""
-import os
-os.environ["XLA_FLAGS"] = (
-    "--xla_force_host_platform_device_count=8 --xla_cpu_multi_thread_eigen=false"
-)
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", {cache_dir!r})
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import json
 import numpy as np
 import jax.numpy as jnp
@@ -174,32 +166,20 @@ def _run_sharded_subprocess(tmp_path, batch_np) -> dict:
     import subprocess
     import sys
 
+    import __graft_entry__ as ge
+
     batch_path = str(tmp_path / "batch.json")
     out_path = str(tmp_path / "out.json")
     with open(batch_path, "w") as f:
         json.dump({k: np.asarray(v).tolist() for k, v in batch_np.items()}, f)
-    # fresh per-test cache: reloading multi-device CPU AOT entries from a
-    # shared cache aborts on this host (cpu_aot_loader feature mismatch)
-    cache_dir = str(tmp_path / "jax_cache")
-    script = _SHARD_SCRIPT.format(
-        cache_dir=cache_dir, batch_path=batch_path, out_path=out_path
-    )
+    script = _SHARD_SCRIPT.format(batch_path=batch_path, out_path=out_path)
     env = dict(os.environ)
-    env["PYTHONPATH"] = (
-        os.path.join(os.path.dirname(__file__), "..")
-        + os.pathsep
-        + env.get("PYTHONPATH", "")
-    )
     env.pop("XLA_FLAGS", None)
-    # retries: the single-core host's spinning collective rendezvous can hit
-    # its hard deadline and SIGABRT (scheduling race, see test_e2e dryrun)
-    for attempt in range(3):
-        proc = subprocess.run(
-            [sys.executable, "-c", script], env=env, capture_output=True,
-            text=True, timeout=1200,
-        )
-        if proc.returncode == 0:
-            break
+    env = ge.cpu_mesh_env(8, base_env=env)
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, capture_output=True,
+        text=True, timeout=1800,
+    )
     assert proc.returncode == 0, f"sharded subprocess failed:\n{proc.stderr[-3000:]}"
     with open(out_path) as f:
         return json.load(f)
