@@ -40,7 +40,10 @@ def run_evaluate(args) -> int:
         )
         print("WARNING: no snapshot given, evaluating random weights")
 
-    ransac = RansacConfig(score_threshold=args.score_threshold)
+    ransac = RansacConfig(
+        score_threshold=args.score_threshold,
+        max_instances=max(getattr(args, "max_instances", 1), 1),
+    )
     infer = build_inference_fn(model, spec.corners3d, spec.image_shape, ransac)
 
     use_icp = bool(getattr(args, "icp", False))

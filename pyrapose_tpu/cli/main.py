@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="skip loading depth images even when present (disables VSD/ICP)",
     )
+    e.add_argument(
+        "--max-instances",
+        type=int,
+        default=1,
+        help="poses recovered per class per image (multi-copy scenes, e.g. "
+        "T-LESS; 1 = reference per-class protocol)",
+    )
 
     i = sub.add_parser("infer", help="run inference on images, write poses JSON")
     i.add_argument("dataset", choices=DATASETS)

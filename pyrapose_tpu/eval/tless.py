@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyrapose_tpu.data.spec import DatasetSpec
+from pyrapose_tpu.eval.driver import as_multi
 from pyrapose_tpu.eval.metrics import (
     add_metric,
     adi_metric,
@@ -136,32 +137,46 @@ def _iou_single(a: np.ndarray, b: np.ndarray) -> float:
 def make_tless_scorer(
     model_points: np.ndarray, diameters: np.ndarray
 ):
-    """Jitted per-image pose scorer: every class's ADI / re / te / reproj and
-    projected-corner hull box, batched over classes."""
+    """Jitted per-image scorer over (class, instance, GT slot): ADI / re /
+    te / reproj error tables plus each instance's projected-corner hull box.
+
+    Instance-aware: multi-copy scenes get a full (N_est x K_gt) table per
+    class for host-side greedy IoU matching (reference iterates NMS
+    detections instead, tless_eval.py:312-436)."""
     points = jnp.asarray(model_points)  # (C, P, 3)
-    dia = jnp.asarray(diameters)
+    del diameters  # thresholding happens host-side with spec.diameters
 
     @jax.jit
-    def score(poses: PoseResult, corners3d, gt_rot, gt_trans, gt_labels,
-              gt_valid, cam):
-        def per_class(c):
-            match = gt_valid & (gt_labels == c)
-            has_gt = jnp.any(match)
-            slot = jnp.argmax(match)
-            rg, tg = gt_rot[slot], gt_trans[slot]
-            re_, te_ = poses.rot[c], poses.trans[c]
-            err_adi = adi_metric(re_, te_, rg, tg, points[c])
-            err_add = add_metric(re_, te_, rg, tg, points[c])
-            rot_err = rotation_error_deg(re_, rg)
-            t_err = translation_error(te_, tg)
-            rep_err = reprojection_error(re_, te_, rg, tg, points[c], cam)
-            # detection box: hull of estimated-pose corner reprojection
-            proj = project_points(transform_points(corners3d[c], re_, te_), cam)
-            box = jnp.concatenate([jnp.min(proj, axis=0), jnp.max(proj, axis=0)])
-            return has_gt, err_adi, err_add, rot_err, t_err, rep_err, box, dia[c]
+    def score(rot, trans, corners3d, gt_rot, gt_trans, cam):
+        """rot (C, N, 3, 3), trans (C, N, 3) -> tables (C, N, K) + boxes
+        (C, N, 4)."""
+
+        def per_class(c, rot_c, trans_c):
+            pts = jnp.take(points, c, axis=0)
+            crn = jnp.take(corners3d, c, axis=0)
+
+            def per_inst(re_, te_):
+                def per_slot(rg, tg):
+                    return (
+                        adi_metric(re_, te_, rg, tg, pts),
+                        add_metric(re_, te_, rg, tg, pts),
+                        rotation_error_deg(re_, rg),
+                        translation_error(te_, tg),
+                        reprojection_error(re_, te_, rg, tg, pts, cam),
+                    )
+
+                tables = jax.vmap(per_slot)(gt_rot, gt_trans)  # each (K,)
+                # detection box: hull of estimated-pose corner reprojection
+                proj = project_points(transform_points(crn, re_, te_), cam)
+                box = jnp.concatenate(
+                    [jnp.min(proj, axis=0), jnp.max(proj, axis=0)]
+                )
+                return tables + (box,)
+
+            return jax.vmap(per_inst)(rot_c, trans_c)
 
         cs = jnp.arange(points.shape[0])
-        return jax.vmap(per_class)(cs)
+        return jax.vmap(per_class)(cs, rot, trans)
 
     return score
 
@@ -203,6 +218,8 @@ def evaluate_tless(
     )
     points_mm = jnp.asarray(model_points) * 1000.0
 
+    per_image = jax.vmap(scorer, in_axes=(0, 0, None, 0, 0, 0))
+
     for batch in batches:
         images_u8, gt = batch[0], batch[1]
         depth = batch[2] if len(batch) > 2 else None
@@ -214,74 +231,94 @@ def evaluate_tless(
             poses = icp_refine(
                 poses, _aux["masks"], jnp.asarray(depth, jnp.float32), cam
             )
-        per_image = jax.vmap(scorer, in_axes=(0, None, 0, 0, 0, 0, 0))
-        (has_gt, err_adi, err_add, rot_err, t_err, rep_err, det_box, dia) = map(
+        mposes = as_multi(poses)
+        (err_adi, err_add, rot_err, t_err, rep_err, det_box) = map(
             np.asarray,
             per_image(
-                poses,
+                mposes.rot,
+                mposes.trans,
                 corners,
                 jnp.asarray(gt.rot),
                 jnp.asarray(gt.trans),
-                jnp.asarray(gt.labels),
-                jnp.asarray(gt.valid),
                 cam,
             ),
-        )
-        detected = np.asarray(poses.valid)
+        )  # tables (B, C, N, K); det_box (B, C, N, 4)
+        inst_valid = np.asarray(mposes.valid)  # (B, C, N)
         gt_labels = np.asarray(gt.labels)
         gt_valid = np.asarray(gt.valid)
         gt_boxes = np.asarray(gt.boxes)
 
-        for b in range(has_gt.shape[0]):
+        for b in range(err_adi.shape[0]):
             for c in range(spec.num_classes):
-                n_gt = int(((gt_labels[b] == c) & gt_valid[b]).sum())
-                rep.gt_count[c] += n_gt
-                if not detected[b, c]:
+                slots = np.where((gt_labels[b] == c) & gt_valid[b])[0]
+                rep.gt_count[c] += len(slots)
+                insts = np.where(inst_valid[b, c])[0]
+                if len(insts) == 0:
                     continue
-                if not has_gt[b, c]:
-                    # detection with no GT of that class: false positive at
+                if len(slots) == 0:
+                    # detections with no GT of that class: false positives at
                     # every IoU threshold
-                    rep.fp[:, c] += 1
+                    rep.fp[:, c] += len(insts)
                     continue
-                slot = int(
-                    np.argmax((gt_labels[b] == c) & gt_valid[b])
-                )
-                iou = _iou_single(det_box[b, c], gt_boxes[b, slot])
-                for i, t in enumerate(IOU_THRESHOLDS):
-                    if iou > t:
-                        rep.tp[i, c] += 1
-                    else:
-                        rep.fp[i, c] += 1
-                if iou <= 0.5:
-                    continue
-                # pose metrics only for IoU-matched detections
-                # (tless_eval.py:379-436)
-                rep.matched[c] += 1
-                err = float(err_adi[b, c])
-                for i, t in enumerate(ADD_CURVE):
-                    if err < t * float(dia[b, c]):
-                        rep.add_curve[i, c] += 1
-                if float(rot_err[b, c]) < 5.0 and float(t_err[b, c]) < 0.05:
-                    rep.less5[c] += 1
-                if float(rep_err[b, c]) < 5.0:
-                    rep.rep_less5[c] += 1
-                if depth is not None:
-                    e_vsd = float(
-                        vsd_fn(
-                            jnp.asarray(poses.rot[b, c]),
-                            jnp.asarray(poses.trans[b, c]) * 1000.0,
-                            jnp.asarray(gt.rot[b, slot]),
-                            jnp.asarray(gt.trans[b, slot]) * 1000.0,
-                            points_mm[c],
-                            # loader depth is meters; VSD works in mm
-                            # (tless_eval.py:659-662)
-                            jnp.asarray(depth[b], jnp.float32) * 1000.0,
-                            cam[b],
+                # greedy IoU matching of detections to GT instances
+                iou_tab = np.zeros((len(insts), len(slots)), np.float64)
+                for ii, i in enumerate(insts):
+                    for jj, j in enumerate(slots):
+                        iou_tab[ii, jj] = _iou_single(
+                            det_box[b, c, i], gt_boxes[b, j]
                         )
-                    )
-                    rep.vsd_count[c] += 1
-                    if e_vsd < 0.3:
-                        rep.vsd_less_t[c] += 1
+                order = np.argsort(-iou_tab, axis=None)
+                used_e: set = set()
+                used_g: set = set()
+                pairs = []
+                for flat in order:
+                    ii, jj = np.unravel_index(flat, iou_tab.shape)
+                    if ii in used_e or jj in used_g:
+                        continue
+                    used_e.add(ii)
+                    used_g.add(jj)
+                    pairs.append((insts[ii], slots[jj], iou_tab[ii, jj]))
+                # unmatched detections: false positive at every threshold
+                rep.fp[:, c] += len(insts) - len(pairs)
+                for i, j, iou in pairs:
+                    for ti, t in enumerate(IOU_THRESHOLDS):
+                        if iou > t:
+                            rep.tp[ti, c] += 1
+                        else:
+                            rep.fp[ti, c] += 1
+                    if iou <= 0.5:
+                        continue
+                    # pose metrics only for IoU-matched detections
+                    # (tless_eval.py:379-436)
+                    rep.matched[c] += 1
+                    err = float(err_adi[b, c, i, j])
+                    for ti, t in enumerate(ADD_CURVE):
+                        if err < t * float(spec.diameters[c]):
+                            rep.add_curve[ti, c] += 1
+                    if (
+                        float(rot_err[b, c, i, j]) < 5.0
+                        and float(t_err[b, c, i, j]) < 0.05
+                    ):
+                        rep.less5[c] += 1
+                    if float(rep_err[b, c, i, j]) < 5.0:
+                        rep.rep_less5[c] += 1
+                    if depth is not None:
+                        e_vsd = float(
+                            vsd_fn(
+                                jnp.asarray(mposes.rot[b, c, i]),
+                                jnp.asarray(mposes.trans[b, c, i]) * 1000.0,
+                                jnp.asarray(gt.rot[b, j]),
+                                jnp.asarray(gt.trans[b, j]) * 1000.0,
+                                points_mm[c],
+                                # loader depth is meters; VSD works in mm
+                                # (tless_eval.py:659-662)
+                                jnp.asarray(depth[b], jnp.float32) * 1000.0,
+                                cam[b],
+                            )
+                        )
+                        rep.vsd_count[c] += 1
+                        if e_vsd < 0.3:
+                            rep.vsd_less_t[c] += 1
 
     if verbose:
         print(rep.format_report())

@@ -18,7 +18,11 @@ import numpy as np
 from pyrapose_tpu.data.pipeline import preprocess_images
 from pyrapose_tpu.geometry import anchors_for_shape, decode_box3d
 from pyrapose_tpu.models import ModelConfig, PyraPose
-from pyrapose_tpu.pose import RansacConfig, class_poses_from_dense
+from pyrapose_tpu.pose import (
+    RansacConfig,
+    class_multi_poses_from_dense,
+    class_poses_from_dense,
+)
 from pyrapose_tpu.pose.ransac import PoseResult
 
 
@@ -54,9 +58,16 @@ def build_inference_fn(
         aux = {"boxes3d": boxes3d, "scores": scores, "masks": masks}
         if not with_pose:
             return None, aux
+        # max_instances > 1 recovers several poses per class (multi-copy
+        # scenes); the result gains an instance axis (MultiPoseResult).
+        recover = (
+            class_multi_poses_from_dense
+            if ransac.max_instances > 1
+            else class_poses_from_dense
+        )
         poses = jax.vmap(
             partial(
-                class_poses_from_dense,
+                recover,
                 corners_3d=corners,
                 config=ransac,
                 precomp=precomp,
