@@ -1,11 +1,19 @@
 """End-to-end throughput benchmark: preprocess -> PFPN -> decode -> PnP.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Metric: img/s/chip at 480x640 with the full pipeline on device (the
-reference's pipeline is GPU inference + host OpenCV PnP at batch 1,
-utils/linemod_eval.py:264-534). Baseline for vs_baseline: the north-star
-2000 img/s on a v5e-8 == 250 img/s/chip (BASELINE.json).
+Headline metric: img/s/chip at 480x640 with the full inference pipeline on
+device (the reference's pipeline is GPU inference + host OpenCV PnP at
+batch 1, utils/linemod_eval.py:264-534). Baseline for vs_baseline: the
+north-star 2000 img/s on a v5e-8 == 250 img/s/chip (BASELINE.json).
+
+Extras (same JSON object):
+- breakdown: network-only vs pose-recovery img/s and the pose stage's share
+  of step time (SURVEY §7.3 budget: PnP must stay <= ~10%);
+- train_img_s_per_chip: fused training-step throughput (fwd+bwd+optimizer
+  with on-device target generation, train/step.py make_fused_train_step);
+- model_tflops + mfu_pct: per-image forward FLOPs from XLA cost analysis and
+  the achieved fraction of the chip's peak (v5e bf16 = 197 TFLOP/s).
 """
 
 from __future__ import annotations
@@ -14,7 +22,9 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
 
 import jax
 import jax.numpy as jnp
@@ -22,17 +32,47 @@ import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-from pyrapose_tpu.data import LINEMOD_SPEC
+from pyrapose_tpu.data import LINEMOD_SPEC, PipelineConfig
 from pyrapose_tpu.inference import build_inference_fn
 from pyrapose_tpu.models import ModelConfig, PyraPose
 
 BASELINE_IMG_S_PER_CHIP = 250.0  # north star: 2000 img/s on v5e-8
+
+# bf16 peak matmul throughput per chip, for the MFU estimate.
+_PEAK_TFLOPS = {
+    "v5 lite": 197.0,  # TPU v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6": 918.0,  # trillium
+}
+
+
+def _peak_tflops() -> float | None:
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, val in _PEAK_TFLOPS.items():
+        if key in kind:
+            return val
+    return None
+
+
+def _time(fn, args, iters, warmup, ready):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(ready(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(ready(out))
+    return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    with_train = os.environ.get("BENCH_TRAIN", "1") != "0"
 
     spec = LINEMOD_SPEC
     config = ModelConfig(num_classes=spec.num_classes)
@@ -49,21 +89,89 @@ def main() -> None:
     )(jax.random.PRNGKey(0))
 
     infer = build_inference_fn(model, spec.corners3d, (480, 640))
-
-    # Warmup / compile.
-    for _ in range(warmup):
-        poses, aux = infer(variables, images, cam)
-    jax.block_until_ready((poses.rot, aux["scores"]))
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        poses, aux = infer(variables, images, cam)
-    jax.block_until_ready((poses.rot, aux["scores"]))
-    dt = time.perf_counter() - t0
+    net_only = build_inference_fn(
+        model, spec.corners3d, (480, 640), with_pose=False
+    )
 
     n_chips = jax.device_count()
-    img_s = batch * iters / dt
-    img_s_chip = img_s / max(n_chips, 1)
+
+    # --- full pipeline (headline) -------------------------------------------
+    dt_full = _time(
+        infer, (variables, images, cam), iters, warmup,
+        lambda out: (out[0].rot, out[1]["scores"]),
+    )
+    img_s_chip = batch / dt_full / max(n_chips, 1)
+
+    # --- network + decode only (stage breakdown) ----------------------------
+    dt_net = _time(
+        net_only, (variables, images, cam), iters, warmup,
+        lambda out: out[1]["scores"],
+    )
+    pose_share = max(dt_full - dt_net, 0.0) / dt_full
+
+    extras: dict = {
+        "breakdown": {
+            "net_img_s_per_chip": round(batch / dt_net / max(n_chips, 1), 2),
+            "pose_stage_pct": round(100.0 * pose_share, 2),
+        },
+        "batch": batch,
+    }
+
+    # --- forward FLOPs + MFU -------------------------------------------------
+    try:
+        lowered = jax.jit(
+            lambda v, im: model.apply(v, im, train=False)
+        ).lower(variables, jnp.zeros((1, 480, 640, 3), jnp.float32))
+        cost = lowered.compile().cost_analysis()
+        if cost and cost.get("flops"):
+            tflops_per_img = float(cost["flops"]) / 1e12
+            extras["model_tflops_per_img"] = round(tflops_per_img, 4)
+            achieved = tflops_per_img * (batch / dt_net) / max(n_chips, 1)
+            extras["achieved_tflops_net"] = round(achieved, 2)
+            peak = _peak_tflops()
+            if peak:
+                extras["mfu_pct"] = round(100.0 * achieved / peak, 2)
+    except Exception:
+        pass
+
+    # --- fused training step throughput --------------------------------------
+    if with_train:
+        try:
+            import dataclasses
+
+            from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
+            from pyrapose_tpu.parallel import create_mesh
+            from pyrapose_tpu.train import create_train_state
+            from pyrapose_tpu.train.step import make_fused_train_step
+
+            tspec = dataclasses.replace(spec, image_shape=(480, 640))
+            pipe = PipelineConfig(
+                image_shape=(480, 640), num_classes=spec.num_classes
+            )
+            import math
+
+            use = math.gcd(train_batch, n_chips)
+            mesh = create_mesh(jax.devices()[:use])
+            state = create_train_state(
+                jax.random.PRNGKey(0), config, image_shape=(480, 640)
+            )
+            step = make_fused_train_step(
+                mesh, tspec.corners3d, pipe, donate=False
+            )
+            ds = SyntheticPoseDataset(tspec, num_images=train_batch, seed=0)
+            imgs_u8, gt = ds.batch(list(range(train_batch)))
+            imgs_j = jnp.asarray(imgs_u8)
+            gt_j = jax.tree_util.tree_map(jnp.asarray, gt)
+            t_iters = max(iters // 2, 5)
+            dt_train = _time(
+                step, (state, imgs_j, gt_j), t_iters, 2,
+                lambda out: out[1]["loss"],
+            )
+            extras["train_img_s_per_chip"] = round(
+                train_batch / dt_train / max(use, 1), 2
+            )
+        except Exception as exc:  # keep the headline alive
+            extras["train_error"] = str(exc)[:200]
 
     print(
         json.dumps(
@@ -72,6 +180,7 @@ def main() -> None:
                 "value": round(img_s_chip, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(img_s_chip / BASELINE_IMG_S_PER_CHIP, 4),
+                **extras,
             }
         )
     )

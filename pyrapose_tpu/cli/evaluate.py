@@ -23,7 +23,12 @@ def run_evaluate(args) -> int:
     )
     if spec.image_shape != image_shape:
         spec = dataclasses.replace(spec, image_shape=image_shape)
-    config = ModelConfig(num_classes=spec.num_classes, backbone=args.backbone)
+    model_kwargs = dict(num_classes=spec.num_classes, backbone=args.backbone)
+    if getattr(args, "config", None):
+        from pyrapose_tpu.utils.config import anchor_config_from_file
+
+        model_kwargs["anchors"] = anchor_config_from_file(args.config)
+    config = ModelConfig(**model_kwargs)
     model = PyraPose(config=config)
 
     if args.snapshot:

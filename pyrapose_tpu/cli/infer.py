@@ -59,6 +59,19 @@ def run_infer(args) -> int:
         trans = np.asarray(poses.trans)
         valid = np.asarray(poses.valid)
         score = np.asarray(poses.score)
+        save_dir = getattr(args, "save_images", None)
+        if save_dir:
+            from pyrapose_tpu.utils.visualization import render_pose_overlay
+
+            os.makedirs(save_dir, exist_ok=True)
+            for b, path in enumerate(chunk):
+                overlay = render_pose_overlay(
+                    batch_imgs[b], spec, rot[b], trans[b], valid[b],
+                    score[b], np.asarray(cam_single),
+                )
+                Image.fromarray(overlay).save(
+                    os.path.join(save_dir, os.path.basename(path))
+                )
         for b, path in enumerate(chunk):
             for c in range(spec.num_classes):
                 if not valid[b, c]:

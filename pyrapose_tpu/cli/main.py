@@ -35,6 +35,33 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--no-augment", action="store_true")
     t.add_argument("--freeze-backbone", action="store_true")
     t.add_argument("--seed", type=int, default=0)
+    t.add_argument(
+        "--workers", type=int, default=2,
+        help="host decode/augment threads (reference fit_generator workers, "
+        "bin/train.py:373-390)",
+    )
+    t.add_argument(
+        "--prefetch", type=int, default=2,
+        help="batches kept resident on device ahead of compute",
+    )
+    t.add_argument(
+        "--eval-every", type=int, default=0,
+        help="run ADD(-S) eval on the val split every N epochs (reference "
+        "per-epoch Evaluate callback, callbacks/eval.py:21-97); 0 = off",
+    )
+    t.add_argument("--eval-samples", type=int, default=64,
+                   help="max validation images per train-time eval")
+    t.add_argument("--val-set-name", default="val")
+    t.add_argument(
+        "--profile-dir", default=None,
+        help="write a jax.profiler trace of a steady-state step window here",
+    )
+    t.add_argument("--profile-steps", type=int, default=8)
+    t.add_argument(
+        "--config", default=None,
+        help=".ini file with an [anchor_parameters] section (reference "
+        "utils/config.py:23-36)",
+    )
 
     e = sub.add_parser("evaluate", help="evaluate ADD(-S) on a dataset")
     e.add_argument("dataset", choices=DATASETS)
@@ -58,6 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip loading depth images even when present (disables VSD/ICP)",
     )
     e.add_argument(
+        "--config", default=None,
+        help=".ini file with an [anchor_parameters] section (reference "
+        "bin/evaluate.py:156)",
+    )
+    e.add_argument(
         "--max-instances",
         type=int,
         default=1,
@@ -73,6 +105,13 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--output", default="poses.json")
     i.add_argument("--score-threshold", type=float, default=0.5)
     i.add_argument("--batch-size", type=int, default=8)
+    i.add_argument(
+        "--save-images",
+        default=None,
+        metavar="DIR",
+        help="write pose-wireframe overlay PNGs here (reference "
+        "utils/visualization.py draw_detections debug view)",
+    )
 
     c = sub.add_parser(
         "convert", help="import a keras .h5 checkpoint into a native checkpoint"

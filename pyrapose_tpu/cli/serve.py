@@ -41,11 +41,32 @@ def run_serve(args) -> int:
         )
         print("WARNING: no snapshot given, serving random weights")
 
+    # ICP needs real surface points: refine against box corners corrupts
+    # poses (8 virtual points off the object surface have meaningless
+    # nearest-neighbor correspondences). Load sampled PLY clouds like the
+    # eval drivers (reference loads meshes in its node too,
+    # pyrapose_node.py:679-732); refuse ICP when none are available.
+    model_points = None
+    use_icp = args.icp
+    if use_icp:
+        from pyrapose_tpu.eval.drivers import load_model_points
+
+        model_points = (
+            load_model_points(args.data_path, spec) if args.data_path else None
+        )
+        if model_points is None:
+            print(
+                "WARNING: --icp requested but no mesh models found under "
+                f"{args.data_path}/models; ICP disabled"
+            )
+            use_icp = False
+
     estimator = PoseEstimator(
         spec,
         variables,
-        ServingConfig(score_threshold=args.score_threshold, icp=args.icp),
+        ServingConfig(score_threshold=args.score_threshold, icp=use_icp),
         model_config=config,
+        model_points=model_points,
     )
     serve(estimator, args.host, args.port)
     return 0

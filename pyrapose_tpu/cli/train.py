@@ -1,51 +1,129 @@
 """Train command: data-parallel training loop over the ICI mesh.
 
-The jitted step fuses preprocessing, on-device target generation, forward,
-losses, and the optimizer update — the host only decodes/augments images
-(compare the reference's host-side target generation in fork workers,
-bin/train.py:373-390).
+TPU-native pipeline shape (compare the reference's host-side target
+generation in fork workers + keras queue, bin/train.py:373-390,
+generator.py:344-358):
+
+- host worker threads only decode/augment images (data/prefetch.py);
+- batches are double-buffered onto the mesh with the training sharding
+  (device_prefetch), overlapping H2D with compute;
+- normalization + anchor-target generation are fused INTO the jitted train
+  step and run on TPU (train/step.py make_fused_train_step).
+
+Training-time evaluation (the reference's per-epoch Evaluate callback,
+callbacks/eval.py:21-97) runs the ADD(-S) protocol on a validation split
+every --eval-every epochs; scalars stream to {snapshot_path}/metrics.jsonl;
+--profile-dir wraps a mid-training window in jax.profiler.trace.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from pyrapose_tpu.data import PipelineConfig, make_target_fn, preprocess_images
+from pyrapose_tpu.data import PipelineConfig
 from pyrapose_tpu.data.augment import AugmentConfig
+from pyrapose_tpu.data.prefetch import HostPrefetcher, device_prefetch
 from pyrapose_tpu.data.spec import dataset_spec
 from pyrapose_tpu.models import ModelConfig
-from pyrapose_tpu.parallel import create_mesh, shard_batch
+from pyrapose_tpu.parallel import create_mesh
 from pyrapose_tpu.train import (
     ReduceLROnPlateau,
     create_train_state,
     get_learning_rate,
-    make_sharded_train_step,
+    make_fused_train_step,
     set_learning_rate,
 )
 from pyrapose_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 
 
-def _build_dataset(args, spec, augment):
+def _build_dataset(args, spec, augment, set_name="train"):
     if args.dataset == "synthetic":
         from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
 
         n = (args.steps_per_epoch or 50) * args.batch_size
-        return SyntheticPoseDataset(spec, num_images=max(n, 64), seed=args.seed)
+        seed = args.seed if set_name == "train" else args.seed + 7919
+        return SyntheticPoseDataset(spec, num_images=max(n, 64), seed=seed)
     from pyrapose_tpu.data.datasets import create_dataset
 
     return create_dataset(
         args.dataset,
         args.data_path,
-        set_name="train",
+        set_name=set_name,
         spec=spec,
-        augment=AugmentConfig() if augment else None,
+        augment=AugmentConfig() if (augment and set_name == "train") else None,
         seed=args.seed,
     )
+
+
+class MetricsLogger:
+    """Structured scalar sink: one JSON object per line (the reference's
+    observability is print() + an unwired TensorBoard slot, SURVEY §5)."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, **scalars):
+        if self._f is None:
+            return
+        self._f.write(json.dumps(scalars) + "\n")
+        self._f.flush()
+
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+
+
+def _epoch_schedule(dataset_len, batch_size, steps, epoch, rng):
+    """Deterministic per-epoch index schedule (shuffled without replacement,
+    wrapping across the dataset)."""
+    order = rng.permutation(dataset_len)
+    idx = [
+        [int(order[(s * batch_size + j) % dataset_len]) for j in range(batch_size)]
+        for s in range(steps)
+    ]
+    return idx
+
+
+def _run_eval(args, spec, state, val_dataset, model_points):
+    """ADD(-S) recall on the validation split with current params."""
+    from pyrapose_tpu.eval.drivers import evaluate_by_name
+    from pyrapose_tpu.inference import build_inference_fn
+    from pyrapose_tpu.models import PyraPose
+    from pyrapose_tpu.pose import RansacConfig
+
+    config = ModelConfig(num_classes=spec.num_classes, backbone=args.backbone)
+    model = PyraPose(config=config)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    infer = build_inference_fn(model, spec.corners3d, spec.image_shape,
+                               RansacConfig())
+
+    n = min(len(val_dataset), args.eval_samples)
+
+    def batches():
+        for i in range(0, n - n % args.batch_size, args.batch_size):
+            yield val_dataset.batch(list(range(i, i + args.batch_size)))
+
+    name = args.dataset if args.dataset != "synthetic" else "linemod"
+    report = evaluate_by_name(
+        name if name in ("linemod", "occlusion", "ycbv", "homebrewed")
+        else "linemod",
+        spec, infer, variables, batches(), model_points=model_points,
+        verbose=False,
+    )
+    return report
 
 
 def run_train(args) -> int:
@@ -55,11 +133,32 @@ def run_train(args) -> int:
     if spec.image_shape != image_shape:
         spec = dataclasses.replace(spec, image_shape=image_shape)
 
-    config = ModelConfig(num_classes=spec.num_classes, backbone=args.backbone)
-    pipe = PipelineConfig(image_shape=image_shape, num_classes=spec.num_classes)
+    anchors = None
+    if getattr(args, "config", None):
+        from pyrapose_tpu.utils.config import anchor_config_from_file
 
-    mesh = create_mesh()
-    print(f"devices: {jax.device_count()} ({jax.devices()[0].platform})")
+        anchors = anchor_config_from_file(args.config)
+        print(f"anchor parameters from {args.config}: {anchors}")
+
+    model_kwargs = dict(num_classes=spec.num_classes, backbone=args.backbone)
+    pipe_kwargs = dict(image_shape=image_shape, num_classes=spec.num_classes)
+    if anchors is not None:
+        model_kwargs["anchors"] = anchors
+        pipe_kwargs["anchors"] = anchors
+    config = ModelConfig(**model_kwargs)
+    pipe = PipelineConfig(**pipe_kwargs)
+
+    import math
+
+    n_dev = jax.device_count()
+    use = math.gcd(args.batch_size, n_dev)
+    if use < n_dev:
+        print(
+            f"WARNING: batch size {args.batch_size} not divisible by "
+            f"{n_dev} devices; using a {use}-device mesh"
+        )
+    mesh = create_mesh(jax.devices()[:use])
+    print(f"devices: {use} ({jax.devices()[0].platform})")
 
     state = create_train_state(
         jax.random.PRNGKey(args.seed),
@@ -72,37 +171,64 @@ def run_train(args) -> int:
         state = restore_checkpoint(state, args.snapshot)
         print(f"resumed from {args.snapshot} at step {int(state.step)}")
 
-    step_fn = make_sharded_train_step(mesh, donate=True)
-    target_fn = make_target_fn(spec.corners3d, pipe)
+    step_fn = make_fused_train_step(mesh, spec.corners3d, pipe, donate=True)
     dataset = _build_dataset(args, spec, augment=not args.no_augment)
     plateau = ReduceLROnPlateau()
+    logger = MetricsLogger(
+        os.path.join(args.snapshot_path, "metrics.jsonl")
+        if args.snapshot_path
+        else None
+    )
+
+    eval_every = getattr(args, "eval_every", 0) or 0
+    val_dataset = None
+    model_points = None
+    if eval_every > 0:
+        val_set = getattr(args, "val_set_name", "val")
+        try:
+            val_dataset = _build_dataset(args, spec, augment=False,
+                                         set_name=val_set)
+        except FileNotFoundError:
+            print(f"WARNING: no '{val_set}' split; eval uses the train split")
+            val_dataset = _build_dataset(args, spec, augment=False)
+        if args.data_path:
+            from pyrapose_tpu.eval.drivers import load_model_points
+
+            model_points = load_model_points(args.data_path, spec)
+
+    profile_dir = getattr(args, "profile_dir", None)
+    profile_steps = getattr(args, "profile_steps", 8)
+    workers = getattr(args, "workers", 2)
+    prefetch_depth = getattr(args, "prefetch", 2)
 
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // args.batch_size, 1)
+    sched_rng = np.random.default_rng(args.seed)
+    profiling = False
 
     for epoch in range(args.epochs):
+        schedule = _epoch_schedule(
+            len(dataset), args.batch_size, steps_per_epoch, epoch, sched_rng
+        )
+        loader = HostPrefetcher(
+            dataset, args.batch_size, schedule=schedule,
+            num_workers=workers,
+        )
         losses = []
         t0 = time.time()
-        for it in range(steps_per_epoch):
-            idx = [
-                (epoch * steps_per_epoch * args.batch_size + it * args.batch_size + j)
-                % len(dataset)
-                for j in range(args.batch_size)
-            ]
-            images_u8, gt = dataset.batch(idx)
-            targets = target_fn(jax.tree_util.tree_map(jnp.asarray, gt))
-            batch = shard_batch(
-                {
-                    "images": np.asarray(
-                        preprocess_images(jnp.asarray(images_u8))
-                    ),
-                    "labels": np.asarray(targets.labels),
-                    "regression": np.asarray(targets.regression),
-                    "mask": np.asarray(targets.mask),
-                },
-                mesh,
-            )
-            state, parts = step_fn(state, batch)
+        for it, (images_u8, gt) in enumerate(
+            device_prefetch(loader, mesh, depth=prefetch_depth)
+        ):
+            if profile_dir and epoch == 0 and it == 1 and not profiling:
+                # skip step 0 (compile); trace a small steady-state window
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            state, parts = step_fn(state, images_u8, gt)
             losses.append(float(parts["loss"]))
+            if profiling and it >= profile_steps:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profile written to {profile_dir}")
         dt = time.time() - t0
         mean_loss = float(np.mean(losses))
         imps = steps_per_epoch * args.batch_size / dt
@@ -111,9 +237,25 @@ def run_train(args) -> int:
             f"epoch {epoch + 1}/{args.epochs}: loss {mean_loss:.4f} "
             f"lr {lr:.2e} {imps:.1f} img/s"
         )
+        scalars = dict(
+            epoch=epoch + 1, step=int(state.step), loss=mean_loss,
+            lr=lr, img_s=round(imps, 2),
+        )
+        if eval_every > 0 and (epoch + 1) % eval_every == 0:
+            report = _run_eval(args, spec, state, val_dataset, model_points)
+            scalars["val_recall"] = report["mean_recall"]
+            scalars["val_detection_rate"] = report["mean_detection_rate"]
+            print(
+                f"  val: recall {report['mean_recall']:.4f} "
+                f"det {report['mean_detection_rate']:.4f}"
+            )
+        logger.log(**scalars)
         new_lr = plateau.update(mean_loss, lr)
         if new_lr != lr:
             state = set_learning_rate(state, new_lr)
         path = save_checkpoint(state, args.snapshot_path)
         print(f"saved {path}")
+    if profiling:
+        jax.profiler.stop_trace()
+    logger.close()
     return 0

@@ -174,5 +174,11 @@ def augment_rgb(
     if rng.random() < 0.5:
         img = img + rng.normal(0, rng.uniform(2, 8), img.shape)
     if rng.random() < 0.3:
-        img = _gaussian_blur(img.reshape(img.shape[0], -1), rng.uniform(0.3, 1.2)).reshape(img.shape)
+        # per-channel spatial blur (a (H, W*3) view would convolve across
+        # interleaved R/G/B of neighboring pixels -> color fringing)
+        sigma = rng.uniform(0.3, 1.2)
+        img = np.stack(
+            [_gaussian_blur(img[..., c], sigma) for c in range(img.shape[-1])],
+            axis=-1,
+        )
     return np.clip(img, 0, 255).astype(np.uint8)

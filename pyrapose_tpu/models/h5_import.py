@@ -192,6 +192,27 @@ _PFPN_ORDER = (
     "td_p4", "td_p3", "down_p3", "out_p3", "down_p4", "out_p4", "out_p5",
 )
 
+# The named output convs (retinanet.py:204,209,212 pass name='P3'/'P4'/'P5').
+_PFPN_NAMED = {"P3": "out_p3", "P4": "out_p4", "P5": "out_p5"}
+# The four shape-identical unnamed 3x3 smoothing/downsampling convs, in
+# CREATION order (retinanet.py:199-207: P4_mid, P3_mid, P3_down, P4_down).
+_PFPN_MIDS = ("td_p4", "td_p3", "down_p3", "down_p4")
+_PFPN_LATERALS = ("lateral_p3", "lateral_p4", "lateral_p5")
+
+
+def _auto_name_index(name: str) -> int:
+    """keras auto-name counter: 'conv2d' -> 0, 'conv2d_7' -> 7.
+
+    The counter increments at layer INSTANTIATION, so it encodes creation
+    order even though the h5 `layer_names` attribute is written in
+    model.layers (topological) order — the robust anchor for the four
+    shape-identical PFPN convs.
+    """
+    head, _, tail = name.rpartition("_")
+    if head and tail.isdigit():
+        return int(tail)
+    return 0
+
 _HEAD_SUBTREES = {"3Dbox": "box3d_head", "cls": "cls_head", "mask": "mask_head"}
 
 
@@ -211,17 +232,21 @@ def import_pyrapose_h5(h5_path: str, variables: dict) -> dict:
         if k.startswith(("res", "bn", "conv1", "padding")) or k == "bn_conv1"
     }
 
-    # -- PFPN: top-level unnamed convs + the named P3/P4/P5 outputs --------
+    # -- PFPN mapping (order-robust) ---------------------------------------
+    # keras writes `layer_names` in model.layers (topological) order, NOT
+    # creation order, and td/down convs share the same 3x3 256->256 kernel
+    # shape — file order alone could silently swap them. Anchors used
+    # instead: (a) the named 'P3'/'P4'/'P5' output convs; (b) the 1x1
+    # laterals, disambiguated by input width (C3 < C4 < C5); (c) the four
+    # remaining 3x3 convs by their auto-name counter ('conv2d_N'), which
+    # encodes creation order.
     top_convs = [
         (k, v) for k, v in layers.items()
         if k not in named_backbone and "/" not in k and "kernel" in v
     ]
     pfpn = dict(params["pfpn"])
-    if len(top_convs) < len(_PFPN_ORDER):
-        raise ValueError(
-            f"expected >= {len(_PFPN_ORDER)} pyramid convs, found {len(top_convs)}"
-        )
-    for (lname, w), our in zip(top_convs[: len(_PFPN_ORDER)], _PFPN_ORDER):
+
+    def assign(our: str, lname: str, w) -> None:
         expect = np.asarray(pfpn[our]["kernel"]).shape
         k = _as_f32(w["kernel"])
         if k.shape != expect:
@@ -229,6 +254,37 @@ def import_pyrapose_h5(h5_path: str, variables: dict) -> dict:
                 f"pyramid conv {lname} -> {our}: shape {k.shape} != {expect}"
             )
         pfpn[our] = {"kernel": k, "bias": _as_f32(w["bias"])}
+
+    if all(n in layers for n in _PFPN_NAMED):
+        for nm, our in _PFPN_NAMED.items():
+            assign(our, nm, layers[nm])
+        unnamed = [(k, v) for k, v in top_convs if k not in _PFPN_NAMED]
+        laterals = [
+            (k, v) for k, v in unnamed if v["kernel"].shape[:2] == (1, 1)
+        ]
+        mids = [
+            (k, v) for k, v in unnamed if v["kernel"].shape[:2] == (3, 3)
+        ]
+        if len(laterals) != 3 or len(mids) != 4:
+            raise ValueError(
+                f"PFPN: expected 3 laterals + 4 mid convs, found "
+                f"{len(laterals)} + {len(mids)}"
+            )
+        laterals.sort(key=lambda kv: kv[1]["kernel"].shape[2])  # Cin asc
+        for (lname, w), our in zip(laterals, _PFPN_LATERALS):
+            assign(our, lname, w)
+        mids.sort(key=lambda kv: _auto_name_index(kv[0]))
+        for (lname, w), our in zip(mids, _PFPN_MIDS):
+            assign(our, lname, w)
+    else:
+        # legacy fallback: strict file order (pre-naming exports)
+        if len(top_convs) < len(_PFPN_ORDER):
+            raise ValueError(
+                f"expected >= {len(_PFPN_ORDER)} pyramid convs, "
+                f"found {len(top_convs)}"
+            )
+        for (lname, w), our in zip(top_convs[: len(_PFPN_ORDER)], _PFPN_ORDER):
+            assign(our, lname, w)
     params["pfpn"] = pfpn
 
     # -- heads: nested sub-model groups --------------------------------

@@ -61,6 +61,19 @@ class PoseEstimator:
             spec.image_shape,
             RansacConfig(score_threshold=config.score_threshold),
         )
+        if config.icp and model_points is None:
+            # Refining against the 8 virtual box corners corrupts poses
+            # (they are not surface points; nearest-neighbor matches to the
+            # depth cloud are meaningless). Callers must supply sampled mesh
+            # clouds (eval.drivers.load_model_points) to enable ICP.
+            import warnings
+
+            warnings.warn(
+                "ICP requested without model_points (mesh surface samples); "
+                "disabling ICP — box corners are not a valid ICP target"
+            )
+            config = dataclasses.replace(config, icp=False)
+            self.config = config
         if model_points is None:
             model_points = spec.corners3d
         self.model_points = np.asarray(model_points, np.float32)

@@ -108,28 +108,63 @@ class PoseEstimationNode:  # pragma: no cover - needs a ROS install
         del rospy
 
 
-def run_service(estimator: PoseEstimator):  # pragma: no cover - ROS only
+def run_service(
+    estimator: PoseEstimator, srv_class=None
+):  # pragma: no cover - ROS only
     """Service mode: `get_poses` returning PoseWithConfidence[]
-    (reference srv/returnPoses.srv)."""
+    (reference srv/returnPoses.srv, pyrapose_node.py:367-370).
+
+    srv_class must be a generated ROS service type (catkin builds it from a
+    returnPoses.srv definition: request `sensor_msgs/Image image`, response
+    `PoseWithConfidence[] poses`). rospy requires the generated class — a
+    plain callable/dict cannot carry _request_class/_response_class — so
+    without one this raises instead of registering a service that would
+    crash on first call.
+    """
     _require_ros()
     import rospy
 
+    if srv_class is None:
+        try:  # the reference's package name, if built in this workspace
+            from object_detector_msgs.srv import get_poses as srv_class  # type: ignore
+        except ImportError:
+            raise NotImplementedError(
+                "run_service needs a generated ROS srv class (the "
+                "returnPoses.srv equivalent); pass it as srv_class or build "
+                "the message package in your catkin workspace"
+            )
+
+    try:
+        from object_detector_msgs.msg import PoseWithConfidence  # type: ignore
+    except ImportError:
+        PoseWithConfidence = None
+
     def handle(req):
         from cv_bridge import CvBridge
+        from geometry_msgs.msg import Pose
 
         bridge = CvBridge()
         image = np.asarray(bridge.imgmsg_to_cv2(req.image, "rgb8"), np.uint8)
         results = estimator.estimate(image)
-        return {
-            "poses": [
-                {
-                    "name": f"obj_{r['obj_id']:06d}",
-                    "confidence": r["score"],
-                    "pose": r["trans"].tolist() + r["quat"].tolist(),
-                }
-                for r in results
-            ]
-        }
+        response = srv_class._response_class()
+        for r in results:
+            pose = Pose()
+            pose.position.x, pose.position.y, pose.position.z = map(
+                float, r["trans"]
+            )
+            (pose.orientation.w, pose.orientation.x,
+             pose.orientation.y, pose.orientation.z) = map(float, r["quat"])
+            if PoseWithConfidence is None:
+                raise NotImplementedError(
+                    "PoseWithConfidence message type not built; generate the "
+                    "msg package (reference msg/PoseWithConfidence.msg)"
+                )
+            entry = PoseWithConfidence()
+            entry.name = f"obj_{r['obj_id']:06d}"
+            entry.confidence = float(r["score"])
+            entry.pose = pose
+            response.poses.append(entry)
+        return response
 
-    rospy.Service("get_poses", object, handle)
+    rospy.Service("get_poses", srv_class, handle)
     rospy.spin()

@@ -188,3 +188,44 @@ def make_sharded_train_step(mesh: Mesh, donate: bool = True):
         out_shardings=(replicated, replicated),
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_fused_train_step(mesh: Mesh, corners3d, pipe_config, donate: bool = True):
+    """jit a train step that takes RAW loader output: (state, images_u8, gt).
+
+    Image normalization and the full anchor-target generation run INSIDE the
+    step on device (the reference computes targets per batch on host fork
+    workers, generator.py:344-358); the host ships only uint8 images and the
+    fixed-shape padded GroundTruth. Eliminates the target-fn round trip
+    (device -> numpy -> device) the naive loop pays, and shrinks H2D traffic
+    to images_u8 + a few KB of GT.
+    """
+    import jax.numpy as jnp
+
+    from pyrapose_tpu.data.pipeline import (
+        preprocess_images,
+        targets_from_poses,
+    )
+
+    corners = jnp.asarray(corners3d)
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+
+    def fused_step(state: TrainState, images_u8, gt):
+        targets = jax.vmap(
+            lambda g: targets_from_poses(g, corners, pipe_config)
+        )(gt)
+        batch = {
+            "images": preprocess_images(images_u8),
+            "labels": targets.labels,
+            "regression": targets.regression,
+            "mask": targets.mask,
+        }
+        return train_step(state, batch)
+
+    return jax.jit(
+        fused_step,
+        in_shardings=(replicated, batch_sharded, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,) if donate else (),
+    )

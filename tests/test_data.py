@@ -119,3 +119,41 @@ class TestTargetFn:
         assert np.all(labels[pos][:, :-1].sum(axis=1) == 1.0)
         # mask target has foreground pixels
         assert np.asarray(targets.mask)[..., -1].sum() > 0
+
+
+class TestAnchorConfigFile:
+    def test_ini_round_trip(self, tmp_path):
+        """--config .ini anchor override (reference utils/config.py:23-36)."""
+        from pyrapose_tpu.utils.config import anchor_config_from_file
+
+        p = tmp_path / "anchors.ini"
+        p.write_text(
+            "[anchor_parameters]\n"
+            "sizes = 16 32 64\n"
+            "strides = 8 16 32\n"
+            "ratios = 0.5 1 2\n"
+            "scales = 1 1.5\n"
+        )
+        cfg = anchor_config_from_file(str(p))
+        assert cfg.sizes == (16.0, 32.0, 64.0)
+        assert cfg.scales == (1.0, 1.5)
+        assert cfg.num_anchors_per_location == 6
+
+    def test_partial_section_keeps_defaults(self, tmp_path):
+        from pyrapose_tpu.utils.config import anchor_config_from_file
+
+        p = tmp_path / "anchors.ini"
+        p.write_text("[anchor_parameters]\nratios = 1\n")
+        cfg = anchor_config_from_file(str(p))
+        assert cfg.ratios == (1.0,)
+        assert cfg.sizes == (32.0, 64.0, 128.0)
+
+    def test_mismatched_lengths_raise(self, tmp_path):
+        import pytest as _pytest
+
+        from pyrapose_tpu.utils.config import anchor_config_from_file
+
+        p = tmp_path / "anchors.ini"
+        p.write_text("[anchor_parameters]\nsizes = 32 64\nstrides = 8 16 32\n")
+        with _pytest.raises(ValueError, match="equal length"):
+            anchor_config_from_file(str(p))

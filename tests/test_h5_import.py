@@ -84,9 +84,27 @@ def _make_h5(path, variables, full=False):
                 _write_layer(root, order, f"bn{caffe}_branch1",
                              _bn_weights(rng, bp["proj_bn"], bs["proj_bn"]))
         if full:
+            # Mimic the real keras writer: laterals and td/down convs are
+            # auto-named conv2d_N in CREATION order, outputs are named
+            # P3/P4/P5 (retinanet.py:180-214) — but `layer_names` is stored
+            # in model.layers (topological) order, which differs. Writing
+            # the file in a scrambled order proves the importer does not
+            # depend on file order (round-1 ADVICE: order-based assignment
+            # silently swaps shape-identical kernels).
             pfpn = variables["params"]["pfpn"]
-            for i, our in enumerate(_PFPN_ORDER):
-                _write_layer(root, order, f"conv2d_{i + 1}", {
+            creation_names = {
+                "lateral_p3": "conv2d_1", "lateral_p4": "conv2d_2",
+                "lateral_p5": "conv2d_3",
+                "td_p4": "conv2d_4", "td_p3": "conv2d_5",
+                "down_p3": "conv2d_6", "down_p4": "conv2d_7",
+                "out_p3": "P3", "out_p4": "P4", "out_p5": "P5",
+            }
+            scrambled = (
+                "out_p5", "td_p3", "lateral_p4", "down_p4", "out_p3",
+                "lateral_p3", "down_p3", "td_p4", "lateral_p5", "out_p4",
+            )
+            for our in scrambled:
+                _write_layer(root, order, creation_names[our], {
                     "kernel": _rand_like(rng, pfpn[our]["kernel"]),
                     "bias": _rand_like(rng, pfpn[our]["bias"]),
                 })
@@ -160,13 +178,23 @@ class TestImportFull:
         _make_h5(p, variables, full=True)
         out = import_pyrapose_h5(p, variables)
         layers = read_h5_layers(p)
+        # despite the scrambled file order: laterals land by input width,
+        # mids by auto-name creation order, outputs by explicit name
         np.testing.assert_array_equal(
             out["params"]["pfpn"]["lateral_p4"]["kernel"],
             layers["conv2d_2"]["kernel"],
         )
         np.testing.assert_array_equal(
+            out["params"]["pfpn"]["td_p4"]["kernel"],
+            layers["conv2d_4"]["kernel"],
+        )
+        np.testing.assert_array_equal(
+            out["params"]["pfpn"]["down_p4"]["kernel"],
+            layers["conv2d_7"]["kernel"],
+        )
+        np.testing.assert_array_equal(
             out["params"]["pfpn"]["out_p5"]["kernel"],
-            layers["conv2d_10"]["kernel"],
+            layers["P5"]["kernel"],
         )
         np.testing.assert_array_equal(
             out["params"]["cls_head"]["tower"]["conv3"]["bias"],
