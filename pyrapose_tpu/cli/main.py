@@ -138,6 +138,20 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--min-visibility", type=float, default=0.0)
     a.add_argument("--no-depth", action="store_true")
 
+    r = sub.add_parser(
+        "render-synthetic",
+        help="render a synthetic BOP-layout training set from meshes "
+        "(reference annotation_scripts/render_custom_from_mesh.py)",
+    )
+    r.add_argument("models_dir", help="directory with obj_*.ply + models_info")
+    r.add_argument("output", help="output dataset root")
+    r.add_argument("--n-images", type=int, default=100)
+    r.add_argument("--set-name", default="train")
+    r.add_argument("--backgrounds", default=None,
+                   help="directory of background images (e.g. COCO)")
+    r.add_argument("--obj-ids", type=int, nargs="*", default=None)
+    r.add_argument("--seed", type=int, default=0)
+
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--batch-size", type=int, default=16)
     b.add_argument("--iters", type=int, default=20)
@@ -219,6 +233,23 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"wrote {len(result['images'])} images, "
             f"{len(result['annotations'])} annotations to {args.output}"
+        )
+        return 0
+    if args.command == "render-synthetic":
+        from pyrapose_tpu.data.scene_render import generate_synthetic_dataset
+
+        index = generate_synthetic_dataset(
+            args.models_dir,
+            args.output,
+            n_images=args.n_images,
+            set_name=args.set_name,
+            obj_ids=args.obj_ids,
+            backgrounds_dir=args.backgrounds,
+            seed=args.seed,
+        )
+        print(
+            f"rendered {len(index['images'])} images, "
+            f"{len(index['annotations'])} annotations to {args.output}"
         )
         return 0
     if args.command == "bench":

@@ -267,14 +267,7 @@ def generate_synthetic_dataset(
     os.makedirs(img_dir, exist_ok=True)
     # pass models_info through so dataset_spec() resolves on the output
     with open(os.path.join(out_dir, "annotations", "models_info.json"), "w") as f:
-        json.dump(
-            {str(k): models_info[k] if k in models_info else models_info[str(k)]
-             for k in (models_info if isinstance(next(iter(models_info)), str)
-                       else map(str, models_info))},
-            f,
-        ) if False else json.dump(
-            {str(k): v for k, v in models_info.items()}, f
-        )
+        json.dump({str(k): v for k, v in models_info.items()}, f)
 
     renderer = SceneRenderer(meshes, cam, shape)
     fx, fy, cx, cy = cam

@@ -89,10 +89,14 @@ def refine_pose(
         jtj = jtj + damping * jnp.eye(6, dtype=f32) * (1.0 + jnp.diagonal(jtj))
         delta = -jnp.linalg.solve(jtj, jtr)
 
-        rot_new = heinsum(
-            "ij,jk->ik", axis_angle_to_matrix(delta[:3]).astype(f32), rot
-        )
-        return (rot_new, trans + delta[3:]), None
+        # The Jacobian linearizes about camera-frame points (skew of
+        # pc = R p + t), so the increment acts on the whole pose:
+        # R' = dR R, t' = dR t + dt. Dropping dR on t leaves an
+        # O(|dtheta x t|) error in each step (slower convergence).
+        drot = axis_angle_to_matrix(delta[:3]).astype(f32)
+        rot_new = heinsum("ij,jk->ik", drot, rot)
+        trans_new = heinsum("ij,j->i", drot, trans) + delta[3:]
+        return (rot_new, trans_new), None
 
     (rot_out, trans_out), _ = jax.lax.scan(
         step, (rot.astype(f32), trans.astype(f32)), None, length=iterations
