@@ -38,22 +38,27 @@ def run_infer(args) -> int:
         print(f"no images found in {args.image_dir}")
         return 1
 
+    from pyrapose_tpu.data.image import resize_letterbox
+
     h, w = spec.image_shape
-    cam_single = jnp.asarray(spec.intrinsics, jnp.float32)
+    cam_single = np.asarray(spec.intrinsics, np.float32)
     results = []
     bs = args.batch_size
     for i in range(0, len(paths), bs):
         chunk = paths[i : i + bs]
         images = []
+        cams = []
         for p in chunk:
-            img = Image.open(p).convert("RGB")
-            if img.size != (w, h):
-                img = img.resize((w, h))
-            images.append(np.asarray(img, np.uint8))
+            img = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+            # aspect-preserving min/max-side resize + letterbox, intrinsics
+            # scaled along (reference utils/image.py:281-323 scale rule)
+            img, cam_adj, _scale = resize_letterbox(img, (h, w), cam_single)
+            images.append(img)
+            cams.append(cam_adj if cam_adj is not None else cam_single)
         # pad the final chunk to full batch for a single compiled shape
         pad = bs - len(images)
         batch_imgs = np.stack(images + [images[-1]] * pad)
-        cam = jnp.tile(cam_single, (bs, 1))
+        cam = jnp.asarray(np.stack(cams + [cams[-1]] * pad))
         poses, _ = infer(variables, jnp.asarray(batch_imgs), cam)
         rot = np.asarray(poses.rot)
         trans = np.asarray(poses.trans)
@@ -67,7 +72,7 @@ def run_infer(args) -> int:
             for b, path in enumerate(chunk):
                 overlay = render_pose_overlay(
                     batch_imgs[b], spec, rot[b], trans[b], valid[b],
-                    score[b], np.asarray(cam_single),
+                    score[b], np.asarray(cams[b]),
                 )
                 Image.fromarray(overlay).save(
                     os.path.join(save_dir, os.path.basename(path))

@@ -1,6 +1,8 @@
 from pyrapose_tpu.parallel.mesh import (
-    create_mesh,
     batch_sharding,
+    create_mesh,
+    create_mesh_2d,
+    image_sharding,
     replicated_sharding,
     shard_batch,
 )

@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
 def create_mesh(
@@ -30,6 +31,35 @@ def create_mesh(
     if devices is None:
         devices = jax.devices()
     return Mesh(np.array(devices), (axis_name,))
+
+
+def create_mesh_2d(
+    data: int,
+    spatial: int,
+    devices: list[Any] | None = None,
+) -> Mesh:
+    """2-D (data x spatial) mesh: batch DP on 'data', activation-grid
+    sharding on 'spatial' (the CNN analogue of sequence/context parallelism,
+    SURVEY §2.3). Image rows are split across the spatial axis; XLA's GSPMD
+    partitioner inserts the halo exchanges every conv needs, so no manual
+    collectives appear in user code."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < data * spatial:
+        raise ValueError(
+            f"need {data * spatial} devices for a {data}x{spatial} mesh, "
+            f"have {len(devices)}"
+        )
+    arr = np.array(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(arr, (DATA_AXIS, SPATIAL_AXIS))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (B, H, W, C) images: batch over 'data', rows over 'spatial'
+    (when the mesh has a spatial axis)."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
 
 
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:

@@ -62,19 +62,19 @@ def smallest_eigvec_12(mtm: jnp.ndarray, iterations: int = 3) -> jnp.ndarray:
 
     TPU-shaped replacement for jnp.linalg.eigh: the full Jacobi/QR
     eigendecomposition serializes badly on the scalar units, while inverse
-    iteration is one batched Cholesky factorization (MtM is PSD) plus a few
-    triangular solves. EPnP's MtM has a near-zero smallest eigenvalue (the
-    null space), so convergence is one or two iterations; 3 adds margin.
+    iteration is one Cholesky factorization (MtM is PSD) plus a few
+    triangular solves — all UNROLLED (utils/smallmat.py) so the thousands
+    of per-hypothesis systems batch into pure vectorized elementwise work
+    instead of a sequential LU custom call per system. EPnP's MtM has a
+    near-zero smallest eigenvalue (the null space), so convergence is one
+    or two iterations; 3 adds margin.
     """
+    from pyrapose_tpu.utils.smallmat import inverse_iteration_spd
+
     f32 = mtm.dtype
     shift = 1e-7 * jnp.trace(mtm) / 12.0
     a = mtm + shift * jnp.eye(12, dtype=f32)
-    chol, lower = jax.scipy.linalg.cho_factor(a, lower=True)
-    x = jnp.ones((12,), f32) / jnp.sqrt(12.0)
-    for _ in range(iterations):
-        x = jax.scipy.linalg.cho_solve((chol, lower), x)
-        x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
-    return x
+    return inverse_iteration_spd(a, 12, iterations)
 
 
 def horn_rotation(h: jnp.ndarray, iterations: int = 10) -> jnp.ndarray:

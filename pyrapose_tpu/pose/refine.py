@@ -87,7 +87,11 @@ def refine_pose(
         jtj = heinsum("nri,nrj,n->ij", jac, jac, w)  # (6, 6)
         jtr = heinsum("nri,nr,n->i", jac, res, w)  # (6,)
         jtj = jtj + damping * jnp.eye(6, dtype=f32) * (1.0 + jnp.diagonal(jtj))
-        delta = -jnp.linalg.solve(jtj, jtr)
+        # unrolled SPD solve: vectorizes across the vmapped batch instead of
+        # a per-system LU custom call (utils/smallmat.py)
+        from pyrapose_tpu.utils.smallmat import solve_spd
+
+        delta = -solve_spd(jtj, jtr)
 
         # The Jacobian linearizes about camera-frame points (skew of
         # pc = R p + t), so the increment acts on the whole pose:

@@ -206,10 +206,15 @@ def make_fused_train_step(mesh: Mesh, corners3d, pipe_config, donate: bool = Tru
         preprocess_images,
         targets_from_poses,
     )
+    from pyrapose_tpu.parallel.mesh import image_sharding
 
     corners = jnp.asarray(corners3d)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
+    # On a 2-D (data x spatial) mesh the image rows are additionally split
+    # over 'spatial': GSPMD partitions every conv spatially and inserts the
+    # halo exchanges (the CNN analogue of sequence parallelism, SURVEY §2.3).
+    images_sharded = image_sharding(mesh)
 
     def fused_step(state: TrainState, images_u8, gt):
         targets = jax.vmap(
@@ -225,7 +230,7 @@ def make_fused_train_step(mesh: Mesh, corners3d, pipe_config, donate: bool = Tru
 
     return jax.jit(
         fused_step,
-        in_shardings=(replicated, batch_sharded, batch_sharded),
+        in_shardings=(replicated, images_sharded, batch_sharded),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,) if donate else (),
     )

@@ -157,3 +157,43 @@ class TestAnchorConfigFile:
         p.write_text("[anchor_parameters]\nsizes = 32 64\nstrides = 8 16 32\n")
         with _pytest.raises(ValueError, match="equal length"):
             anchor_config_from_file(str(p))
+
+
+class TestResizeLetterbox:
+    def test_identity_when_matching(self):
+        from pyrapose_tpu.data.image import resize_letterbox
+
+        img = np.zeros((480, 640, 3), np.uint8)
+        out, cam, scale = resize_letterbox(img, (480, 640), (500.0, 500.0, 320.0, 240.0))
+        assert scale == 1.0
+        assert out.shape == (480, 640, 3)
+        np.testing.assert_allclose(cam, [500, 500, 320, 240])
+
+    def test_scale_rule_matches_reference(self):
+        """min-side -> 480 capped by max-side 640 (utils/image.py:281-303)."""
+        from pyrapose_tpu.data.image import compute_resize_scale
+
+        # 960x1280: short side 960 -> x0.5 = 480, long side 640 ok
+        assert compute_resize_scale((960, 1280)) == 0.5
+        # 480x2000: min-side rule gives 1.0 but long side 2000 > 640 -> 0.32
+        assert compute_resize_scale((480, 2000)) == 640 / 2000
+
+    def test_letterbox_pads_and_scales_cam(self):
+        from pyrapose_tpu.data.image import resize_letterbox
+
+        img = np.full((240, 320, 3), 200, np.uint8)
+        out, cam, scale = resize_letterbox(img, (480, 640), (100.0, 100.0, 160.0, 120.0))
+        assert out.shape == (480, 640, 3)
+        assert scale == 2.0
+        assert out[0, 0, 0] == 200
+        np.testing.assert_allclose(cam, [200, 200, 320, 240])
+
+    def test_aspect_mismatch_pads_bottom_right(self):
+        from pyrapose_tpu.data.image import resize_letterbox
+
+        img = np.full((100, 640, 3), 77, np.uint8)  # very wide
+        out, _cam, scale = resize_letterbox(img, (480, 640), None)
+        assert out.shape == (480, 640, 3)
+        nh = int(round(100 * scale))
+        assert (out[:nh] == 77).all()
+        assert (out[nh + 1 :] == 0).all()  # bottom padding
