@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
         help=".ini file with an [anchor_parameters] section (reference "
         "utils/config.py:23-36)",
     )
+    t.add_argument(
+        "--spatial", type=int, default=1,
+        help="shard the activation grid over this many devices in addition "
+        "to data parallelism (2-D data x spatial mesh; forces float32 "
+        "compute — XLA SPMD miscompiles bf16 grads on mixed meshes, see "
+        "tests/test_xla_bugs.py)",
+    )
 
     e = sub.add_parser("evaluate", help="evaluate ADD(-S) on a dataset")
     e.add_argument("dataset", choices=DATASETS)

@@ -151,14 +151,33 @@ def run_train(args) -> int:
     import math
 
     n_dev = jax.device_count()
-    use = math.gcd(args.batch_size, n_dev)
-    if use < n_dev:
-        print(
-            f"WARNING: batch size {args.batch_size} not divisible by "
-            f"{n_dev} devices; using a {use}-device mesh"
-        )
-    mesh = create_mesh(jax.devices()[:use])
-    print(f"devices: {use} ({jax.devices()[0].platform})")
+    spatial = max(getattr(args, "spatial", 1), 1)
+    if spatial > 1:
+        from pyrapose_tpu.parallel import create_mesh_2d
+
+        data_dev = math.gcd(args.batch_size, n_dev // spatial)
+        if data_dev * spatial > n_dev:
+            raise ValueError(
+                f"--spatial {spatial} needs {spatial}x devices; have {n_dev}"
+            )
+        # XLA SPMD miscompiles bf16 gradients under combined data x spatial
+        # sharding (tests/test_xla_bugs.py); float32 is exact there.
+        if "float32" not in str(getattr(config, "compute_dtype", "")):
+            print("NOTE: --spatial forces float32 compute (XLA SPMD bf16 "
+                  "grad bug on mixed meshes, tests/test_xla_bugs.py)")
+            config = dataclasses.replace(config, compute_dtype="float32")
+        mesh = create_mesh_2d(data_dev, spatial)
+        print(f"devices: {data_dev}x{spatial} data x spatial "
+              f"({jax.devices()[0].platform})")
+    else:
+        use = math.gcd(args.batch_size, n_dev)
+        if use < n_dev:
+            print(
+                f"WARNING: batch size {args.batch_size} not divisible by "
+                f"{n_dev} devices; using a {use}-device mesh"
+            )
+        mesh = create_mesh(jax.devices()[:use])
+        print(f"devices: {use} ({jax.devices()[0].platform})")
 
     state = create_train_state(
         jax.random.PRNGKey(args.seed),

@@ -55,6 +55,11 @@ def focal_loss(
         Scalar loss = scale * sum(focal BCE over non-ignored anchors) /
         max(1, #positives).
     """
+    # losses reduce over ~1e6 elements: force fp32 regardless of the
+    # model's compute dtype (a bf16 accumulator both loses mass and is
+    # sharding-order sensitive)
+    logits = logits.astype(jnp.float32)
+    labels_with_state = labels_with_state.astype(jnp.float32)
     labels = labels_with_state[..., :-1]
     state = labels_with_state[..., -1]
     probs = jax.nn.sigmoid(logits)
@@ -98,6 +103,9 @@ def orthogonal_l1_loss(
         targets_with_state: (..., N, 17); 16 targets + state column.
         pred: (..., N, 16) predicted deltas.
     """
+    # fp32 reductions regardless of the model compute dtype (see focal_loss)
+    pred = pred.astype(jnp.float32)
+    targets_with_state = targets_with_state.astype(jnp.float32)
     target = targets_with_state[..., :-1]
     state = targets_with_state[..., -1]
     positive = (state == 1.0).astype(pred.dtype)

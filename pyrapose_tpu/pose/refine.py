@@ -52,8 +52,7 @@ def refine_pose(
     w = jnp.maximum(weights.astype(f32), 0.0)
     fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
 
-    def step(carry, _):
-        rot, trans = carry
+    def step(rot, trans):
         pc = heinsum("ij,nj->ni", rot, p3) + trans  # (n, 3)
         x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
         z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
@@ -100,9 +99,12 @@ def refine_pose(
         drot = axis_angle_to_matrix(delta[:3]).astype(f32)
         rot_new = heinsum("ij,jk->ik", drot, rot)
         trans_new = heinsum("ij,j->i", drot, trans) + delta[3:]
-        return (rot_new, trans_new), None
+        return rot_new, trans_new
 
-    (rot_out, trans_out), _ = jax.lax.scan(
-        step, (rot.astype(f32), trans.astype(f32)), None, length=iterations
-    )
+    # Unrolled fixed-count loop: at these sizes the per-iteration work is a
+    # handful of small fused kernels, and lax.scan's loop machinery costs
+    # more than it saves — unrolling lets XLA fuse across iterations.
+    rot_out, trans_out = rot.astype(f32), trans.astype(f32)
+    for _ in range(iterations):
+        rot_out, trans_out = step(rot_out, trans_out)
     return rot_out, trans_out
