@@ -161,9 +161,15 @@ void gn_refine_pose(double* rot, double* trans, const double* pts2d,
     axis_angle_to_r(delta, dr);
     matmul33(dr, r, rnew);
     std::memcpy(r, rnew, sizeof(r));
-    t[0] += delta[3];
-    t[1] += delta[4];
-    t[2] += delta[5];
+    // the linearization is about camera-frame points p = R p0 + t, so the
+    // increment acts on the whole pose: t' = dR t + dt (matches
+    // pose/refine.py)
+    double tn[3];
+    for (int a = 0; a < 3; ++a)
+      tn[a] = dr[a][0] * t[0] + dr[a][1] * t[1] + dr[a][2] * t[2] + delta[3 + a];
+    t[0] = tn[0];
+    t[1] = tn[1];
+    t[2] = tn[2];
   }
   std::memcpy(rot, r, sizeof(r));
   trans[0] = t[0];

@@ -23,7 +23,11 @@ from pyrapose_tpu.pose import (
     class_multi_poses_from_dense,
     class_poses_from_dense,
 )
-from pyrapose_tpu.pose.ransac import PoseResult
+from pyrapose_tpu.pose.ransac import (
+    MultiPoseResult,
+    PoseResult,
+    class_multi_poses_select,
+)
 
 
 def build_inference_fn(
@@ -58,22 +62,87 @@ def build_inference_fn(
         aux = {"boxes3d": boxes3d, "scores": scores, "masks": masks}
         if not with_pose:
             return None, aux
-        # max_instances > 1 recovers several poses per class (multi-copy
-        # scenes); the result gains an instance axis (MultiPoseResult).
-        recover = (
-            class_multi_poses_from_dense
-            if ransac.max_instances > 1
-            else class_poses_from_dense
-        )
-        poses = jax.vmap(
+        if use_pallas:
+            poses = _poses_pallas(boxes3d, scores, cam)
+        else:
+            # max_instances > 1 recovers several poses per class (multi-copy
+            # scenes); the result gains an instance axis (MultiPoseResult).
+            recover = (
+                class_multi_poses_from_dense
+                if ransac.max_instances > 1
+                else class_poses_from_dense
+            )
+            poses = jax.vmap(
+                partial(
+                    recover,
+                    corners_3d=corners,
+                    config=ransac,
+                    precomp=precomp,
+                )
+            )(boxes3d, scores, cam=cam)
+        return poses, aux
+
+    use_pallas = ransac.pallas_refine
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    # forcing the kernel on a non-TPU backend runs it in the interpreter
+    # (tests); native Mosaic lowering happens on TPU only
+    pallas_interpret = jax.devices()[0].platform != "tpu"
+
+    def _poses_pallas(boxes3d, scores, cam):
+        """Selection per image (vmapped), then ONE fused Pallas GN kernel
+        over every (image, class, instance) — pose/pallas_refine.py."""
+        from pyrapose_tpu.pose.pallas_refine import refine_pose_batched_pallas
+
+        sel = jax.vmap(
             partial(
-                recover,
+                class_multi_poses_select,
                 corners_3d=corners,
                 config=ransac,
                 precomp=precomp,
             )
         )(boxes3d, scores, cam=cam)
-        return poses, aux
+        b, c, n = sel["rot0"].shape[:3]
+        k = ransac.top_k
+        i_total = b * c * n
+        pts2d = jnp.broadcast_to(
+            sel["votes"].reshape(b, c, 1, k * 8, 2), (b, c, n, k * 8, 2)
+        ).reshape(i_total, k * 8, 2)
+        pts3d = jnp.broadcast_to(
+            jnp.tile(corners, (1, k, 1)).reshape(1, c, 1, k * 8, 3),
+            (b, c, n, k * 8, 3),
+        ).reshape(i_total, k * 8, 3)
+        cams = jnp.broadcast_to(
+            cam.reshape(b, 1, 1, 4), (b, c, n, 4)
+        ).reshape(i_total, 4)
+        rot, trans = refine_pose_batched_pallas(
+            sel["rot0"].reshape(i_total, 3, 3),
+            sel["trans0"].reshape(i_total, 3),
+            pts2d,
+            pts3d,
+            sel["weights"].reshape(i_total, k * 8),
+            cams,
+            iterations=ransac.refine_iterations,
+            interpret=pallas_interpret,
+        )
+        multi = MultiPoseResult(
+            rot=rot.reshape(b, c, n, 3, 3),
+            trans=trans.reshape(b, c, n, 3),
+            valid=sel["valid"],
+            num_votes=sel["num_votes"],
+            score=sel["score"],
+            inlier_frac=sel["inlier_frac"],
+        )
+        if ransac.max_instances > 1:
+            return multi
+        return PoseResult(
+            rot=multi.rot[:, :, 0],
+            trans=multi.trans[:, :, 0],
+            valid=multi.valid[:, :, 0],
+            num_votes=multi.num_votes,
+            score=multi.score[:, :, 0],
+            inlier_frac=multi.inlier_frac[:, :, 0],
+        )
 
     return infer
 

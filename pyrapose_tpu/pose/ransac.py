@@ -43,6 +43,11 @@ class RansacConfig:
     # gather; exact top_k costs ~2x more at N=56700 and the tournament +
     # refinement wash out which near-tied votes enter the pool.
     approx_top_k: bool = True
+    # GN refinement backend: None = auto (fused Pallas kernel on TPU, pure
+    # JAX elsewhere); True/False forces. The Pallas kernel
+    # (pose/pallas_refine.py) runs all iterations in one VMEM-resident
+    # program instead of ~50 small HLO ops per iteration.
+    pallas_refine: bool | None = None
     # instances recovered per class: greedy non-maximum suppression over the
     # hypothesis tournament — pick the winner, knock out its inlier votes,
     # re-score, repeat. 1 reproduces the reference's per-class loop; T-LESS
@@ -112,7 +117,7 @@ def ransac_pnp(
     return rot[0], trans[0], inlier_frac[0]
 
 
-def _ransac_pnp_instances(
+def _ransac_select(
     votes_2d: jnp.ndarray,
     vote_scores: jnp.ndarray,
     vote_valid: jnp.ndarray,
@@ -121,12 +126,14 @@ def _ransac_pnp_instances(
     config: RansacConfig,
     precomp: dict | None = None,
 ):
-    """Greedy multi-instance hypothesize-and-verify PnP for one class.
+    """Hypothesis generation + greedy multi-instance tournament (no refine).
 
     Instance 0 is the plain tournament winner; each further instance is the
     winner among hypotheses re-scored after earlier winners' inlier votes
     were suppressed (vote-cluster NMS). Returns per-instance
-    (rot (N,3,3), trans (N,3), valid (N,), score (N,), inlier_frac (N,)).
+    (rot0 (N,3,3), trans0 (N,3), weights (N, K*8), inst_valid (N,),
+    seed_score (N,), inlier_frac (N,)) — weights are the refinement stage's
+    per-correspondence weights.
     """
     k = votes_2d.shape[0]
     n_inst = config.max_instances
@@ -181,33 +188,55 @@ def _ransac_pnp_instances(
     # min_votes gate lives in class_poses_from_dense, not here.
     inst_valid = inst_valid.at[0].set(True)
 
-    def refine_one(best, avail):
-        """Refine over the winner's inlier correspondences among the votes
-        still available when it was selected (for instance 0 that is every
-        valid vote — identical to the single-instance path)."""
-        rot0 = rot_h[best]
-        trans0 = trans_h[best]
+    def gather_one(best, avail):
+        """Per-instance refinement inputs: the winner's pose seed plus
+        inlier-correspondence weights among the votes still available when
+        it was selected (for instance 0 that is every valid vote —
+        identical to the single-instance path)."""
         inlier_best = inlier[best] & avail[:, None]  # (V, 8)
-        pts2d = votes_2d.reshape(k * 8, 2)
-        pts3d = jnp.tile(corners_3d, (k, 1))
         weights = (inlier_best * w_valid[:, None]).reshape(k * 8)
         # Guard: if no inliers at all, keep weights uniform over valid votes
         # so GN stays well-posed (result is discarded via the valid flag).
         wsum = jnp.sum(weights)
         fallback = (vote_valid[:, None] * jnp.ones((k, 8))).reshape(k * 8)
         weights = jnp.where(wsum > config.min_hyp_weight, weights, fallback)
-        rot, trans = refine_pose(
-            rot0, trans0, pts2d, pts3d, weights, cam,
-            iterations=config.refine_iterations,
-        )
         inlier_frac = jnp.sum(inlier_best * vote_valid[:, None]) / jnp.maximum(
             jnp.sum(vote_valid) * 8.0, 1.0
         )
-        return rot, trans, inlier_frac, vote_scores[best]
+        return rot_h[best], trans_h[best], weights, inlier_frac, vote_scores[best]
 
-    rot, trans, inlier_frac, seed_score = jax.vmap(refine_one)(
+    rot0, trans0, weights, inlier_frac, seed_score = jax.vmap(gather_one)(
         best_idx, remaining_at
     )
+    return rot0, trans0, weights, inst_valid, seed_score, inlier_frac
+
+
+def _ransac_pnp_instances(
+    votes_2d: jnp.ndarray,
+    vote_scores: jnp.ndarray,
+    vote_valid: jnp.ndarray,
+    corners_3d: jnp.ndarray,
+    cam: jnp.ndarray,
+    config: RansacConfig,
+    precomp: dict | None = None,
+):
+    """Select + refine (pure-JAX path). Returns per-instance
+    (rot (N,3,3), trans (N,3), valid (N,), score (N,), inlier_frac (N,))."""
+    k = votes_2d.shape[0]
+    rot0, trans0, weights, inst_valid, seed_score, inlier_frac = (
+        _ransac_select(
+            votes_2d, vote_scores, vote_valid, corners_3d, cam, config,
+            precomp,
+        )
+    )
+    pts2d = votes_2d.reshape(k * 8, 2)
+    pts3d = jnp.tile(corners_3d, (k, 1))
+    rot, trans = jax.vmap(
+        lambda r0, t0, w: refine_pose(
+            r0, t0, pts2d, pts3d, w, cam,
+            iterations=config.refine_iterations,
+        )
+    )(rot0, trans0, weights)
     return rot, trans, inst_valid, seed_score, inlier_frac
 
 
@@ -256,6 +285,64 @@ def class_poses_from_dense(
     )
 
 
+def class_multi_poses_select(
+    boxes3d: jnp.ndarray,
+    scores: jnp.ndarray,
+    corners_3d: jnp.ndarray,
+    cam: jnp.ndarray,
+    config: RansacConfig = RansacConfig(),
+    precomp: dict | None = None,
+):
+    """Selection stage of multi-instance pose recovery for one image.
+
+    Runs the top-K vote gather + hypothesis tournament per class but defers
+    the GN refinement, so callers can batch refinement across images and
+    classes in one fused kernel (pose/pallas_refine.py).
+
+    Returns a dict with leading class axis: rot0 (C,N,3,3), trans0 (C,N,3),
+    weights (C,N,K*8), votes (C,K,8,2), valid (C,N), num_votes (C,),
+    score (C,N), inlier_frac (C,N).
+    """
+
+    def per_class(cls_scores: jnp.ndarray, cls_corners: jnp.ndarray, cls_pre):
+        above = cls_scores > config.score_threshold
+        num_votes = jnp.sum(above.astype(jnp.int32))
+        gated = jnp.where(above, cls_scores, -1.0)
+        if config.approx_top_k:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                gated, config.top_k, recall_target=0.95
+            )
+        else:
+            top_scores, top_idx = jax.lax.top_k(gated, config.top_k)
+        vote_valid = top_scores > config.score_threshold
+        votes = jnp.take(boxes3d, top_idx, axis=0).reshape(config.top_k, 8, 2)
+        rot0, trans0, weights, inst_valid, seed_score, inlier_frac = (
+            _ransac_select(
+                votes, top_scores, vote_valid, cls_corners, cam, config,
+                precomp=cls_pre,
+            )
+        )
+        # class-level detection gate (reference linemod_eval.py:331-334)
+        detected = num_votes >= config.min_votes
+        valid = inst_valid & detected
+        # instance 0's reported score keeps the class-max semantics
+        score = seed_score.at[0].set(jnp.max(cls_scores))
+        return rot0, trans0, weights, votes, valid, num_votes, score, inlier_frac
+
+    if precomp is not None:
+        pre = {k: jnp.asarray(v) for k, v in precomp.items()}
+        out = jax.vmap(per_class, in_axes=(1, 0, 0))(scores, corners_3d, pre)
+    else:
+        out = jax.vmap(lambda s, c: per_class(s, c, None), in_axes=(1, 0))(
+            scores, corners_3d
+        )
+    keys = (
+        "rot0", "trans0", "weights", "votes", "valid", "num_votes", "score",
+        "inlier_frac",
+    )
+    return dict(zip(keys, out))
+
+
 def class_multi_poses_from_dense(
     boxes3d: jnp.ndarray,
     scores: jnp.ndarray,
@@ -271,46 +358,31 @@ def class_multi_poses_from_dense(
     (the capability the reference reaches via per-detection loops on T-LESS
     multi-copy scenes, tless_eval.py:312-436). vmap over images to batch.
     """
+    sel = class_multi_poses_select(
+        boxes3d, scores, corners_3d, cam, config, precomp
+    )
+    c, n = sel["rot0"].shape[:2]
+    k = config.top_k
 
-    def per_class(cls_scores: jnp.ndarray, cls_corners: jnp.ndarray, cls_pre):
-        above = cls_scores > config.score_threshold
-        num_votes = jnp.sum(above.astype(jnp.int32))
-        gated = jnp.where(above, cls_scores, -1.0)
-        if config.approx_top_k:
-            top_scores, top_idx = jax.lax.approx_max_k(
-                gated, config.top_k, recall_target=0.95
+    def refine_class(rot0_n, trans0_n, weights_n, votes_k, cls_corners):
+        pts2d = votes_k.reshape(k * 8, 2)
+        pts3d = jnp.tile(cls_corners, (k, 1))
+        return jax.vmap(
+            lambda r0, t0, w: refine_pose(
+                r0, t0, pts2d, pts3d, w, cam,
+                iterations=config.refine_iterations,
             )
-        else:
-            top_scores, top_idx = jax.lax.top_k(gated, config.top_k)
-        vote_valid = top_scores > config.score_threshold
-        votes = jnp.take(boxes3d, top_idx, axis=0).reshape(config.top_k, 8, 2)
-        rot, trans, inst_valid, seed_score, inlier_frac = (
-            _ransac_pnp_instances(
-                votes, top_scores, vote_valid, cls_corners, cam, config,
-                precomp=cls_pre,
-            )
-        )
-        # class-level detection gate (reference linemod_eval.py:331-334)
-        detected = num_votes >= config.min_votes
-        valid = inst_valid & detected
-        # instance 0's reported score keeps the class-max semantics
-        score = seed_score.at[0].set(jnp.max(cls_scores))
-        return rot, trans, valid, num_votes, score, inlier_frac
+        )(rot0_n, trans0_n, weights_n)
 
-    if precomp is not None:
-        pre = {k: jnp.asarray(v) for k, v in precomp.items()}
-        rot, trans, valid, num_votes, score, inlier_frac = jax.vmap(
-            per_class, in_axes=(1, 0, 0)
-        )(scores, corners_3d, pre)
-    else:
-        rot, trans, valid, num_votes, score, inlier_frac = jax.vmap(
-            lambda s, c: per_class(s, c, None), in_axes=(1, 0)
-        )(scores, corners_3d)
+    rot, trans = jax.vmap(refine_class)(
+        sel["rot0"], sel["trans0"], sel["weights"], sel["votes"], corners_3d
+    )
+    del c, n
     return MultiPoseResult(
         rot=rot,
         trans=trans,
-        valid=valid,
-        num_votes=num_votes,
-        score=score,
-        inlier_frac=inlier_frac,
+        valid=sel["valid"],
+        num_votes=sel["num_votes"],
+        score=sel["score"],
+        inlier_frac=sel["inlier_frac"],
     )
