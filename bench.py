@@ -155,18 +155,24 @@ def main() -> None:
             state = create_train_state(
                 jax.random.PRNGKey(0), config, image_shape=(480, 640)
             )
+            # donated state carried through the loop — the real training
+            # pattern (buffer reuse, no defensive copies)
             step = make_fused_train_step(
-                mesh, tspec.corners3d, pipe, donate=False
+                mesh, tspec.corners3d, pipe, donate=True
             )
             ds = SyntheticPoseDataset(tspec, num_images=train_batch, seed=0)
             imgs_u8, gt = ds.batch(list(range(train_batch)))
             imgs_j = jnp.asarray(imgs_u8)
             gt_j = jax.tree_util.tree_map(jnp.asarray, gt)
             t_iters = max(iters // 2, 5)
-            dt_train = _time(
-                step, (state, imgs_j, gt_j), t_iters, 2,
-                lambda out: out[1]["loss"],
-            )
+            for _ in range(2):  # warmup/compile
+                state, parts = step(state, imgs_j, gt_j)
+            jax.block_until_ready(parts["loss"])
+            t0 = time.perf_counter()
+            for _ in range(t_iters):
+                state, parts = step(state, imgs_j, gt_j)
+            jax.block_until_ready(parts["loss"])
+            dt_train = (time.perf_counter() - t0) / t_iters
             extras["train_img_s_per_chip"] = round(
                 train_batch / dt_train / max(use, 1), 2
             )

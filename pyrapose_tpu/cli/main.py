@@ -63,6 +63,16 @@ def build_parser() -> argparse.ArgumentParser:
         "utils/config.py:23-36)",
     )
     t.add_argument(
+        "--imagenet-weights", action="store_true",
+        help="initialize the backbone from the fizyr ImageNet release "
+        "(reference models/resnet.py:42-62; downloads + md5-checks, or use "
+        "--pretrained-file)",
+    )
+    t.add_argument(
+        "--pretrained-file", default=None,
+        help="pre-downloaded ImageNet .h5 (for air-gapped environments)",
+    )
+    t.add_argument(
         "--spatial", type=int, default=1,
         help="shard the activation grid over this many devices in addition "
         "to data parallelism (2-D data x spatial mesh; forces float32 "

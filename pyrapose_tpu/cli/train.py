@@ -186,6 +186,20 @@ def run_train(args) -> int:
         learning_rate=args.lr,
         freeze_backbone_stem=not args.freeze_backbone,
     )
+    if getattr(args, "imagenet_weights", False) or getattr(
+        args, "pretrained_file", None
+    ):
+        from pyrapose_tpu.models.pretrained import load_imagenet_backbone
+
+        variables = load_imagenet_backbone(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            args.backbone,
+            local_file=getattr(args, "pretrained_file", None),
+        )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"]
+        )
+        print("backbone initialized from ImageNet weights")
     if args.snapshot:
         state = restore_checkpoint(state, args.snapshot)
         print(f"resumed from {args.snapshot} at step {int(state.step)}")

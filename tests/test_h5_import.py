@@ -272,3 +272,32 @@ class TestConvertEvaluateRoundTrip:
             np.asarray(y_ckpt["box3d"]), np.asarray(y_direct["box3d"]),
             atol=1e-5,
         )
+
+
+class TestPretrained:
+    def test_url_and_checksum_table(self):
+        from pyrapose_tpu.models.pretrained import imagenet_weights_url
+
+        url, md5 = imagenet_weights_url("resnet50")
+        assert url.endswith("ResNet-50-model.keras.h5")
+        assert len(md5) == 32
+        with pytest.raises(ValueError):
+            imagenet_weights_url("resnet10")
+
+    def test_local_file_verification(self, variables, tmp_path):
+        from pyrapose_tpu.models.pretrained import (
+            fetch_imagenet_weights,
+            verify_md5,
+        )
+
+        p = str(tmp_path / "w.h5")
+        _make_h5(p, variables)
+        # wrong-checksum local file is rejected loudly, not silently used
+        with pytest.raises(RuntimeError, match="md5 mismatch"):
+            fetch_imagenet_weights("resnet50", local_file=p)
+        with pytest.raises(FileNotFoundError):
+            fetch_imagenet_weights("resnet50", local_file=str(tmp_path / "no.h5"))
+        import hashlib
+
+        digest = hashlib.md5(open(p, "rb").read()).hexdigest()
+        assert verify_md5(p, digest)
