@@ -90,7 +90,19 @@ def run_infer(args) -> int:
                         "t": trans[b, c].tolist(),
                     }
                 )
-    with open(args.output, "w") as f:
-        json.dump(results, f, indent=1)
+    if args.output.endswith(".csv"):
+        # BOP-challenge result format: scene_id,im_id,obj_id,score,R,t,time
+        # (R row-major space-separated, t in mm)
+        with open(args.output, "w") as f:
+            f.write("scene_id,im_id,obj_id,score,R,t,time\n")
+            for r in results:
+                stem = os.path.splitext(r["image"])[0].split("_")[0]
+                im_id = int(stem) if stem.isdigit() else 0
+                rr = " ".join(f"{v:.6f}" for v in r["R"])
+                tt = " ".join(f"{v * 1000.0:.6f}" for v in r["t"])
+                f.write(f"0,{im_id},{r['obj_id']},{r['score']:.6f},{rr},{tt},-1\n")
+    else:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=1)
     print(f"wrote {len(results)} poses for {len(paths)} images to {args.output}")
     return 0

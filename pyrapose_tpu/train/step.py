@@ -40,6 +40,10 @@ class TrainState(flax.struct.PyTreeNode):
     opt_state: optax.OptState
     apply_fn: Callable = flax.struct.field(pytree_node=False)
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # static: stem/stage1 freezing ALSO stop-gradients those subtrees in the
+    # loss so XLA prunes their backward convolutions entirely (the optax
+    # mask alone zeroes updates but still pays for the gradients)
+    freeze_stem: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
@@ -119,6 +123,7 @@ def create_train_state(
         opt_state=tx.init(params),
         apply_fn=model.apply,
         tx=tx,
+        freeze_stem=freeze_backbone_stem,
     )
 
 
@@ -154,6 +159,15 @@ def train_step(
     """One SGD step. batch = {images, labels, regression, mask}."""
 
     def loss_fn(params):
+        if state.freeze_stem:
+            # stop-gradient the frozen subtrees: XLA dead-code-eliminates
+            # their backward convolutions (reference freezes the first ~40
+            # layers, models/resnet.py:100-103)
+            mask = _frozen_mask(params)
+            params = jax.tree_util.tree_map(
+                lambda p, keep: p if keep else jax.lax.stop_gradient(p),
+                params, mask,
+            )
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats

@@ -208,3 +208,36 @@ class TestShardedStep:
         a = np.asarray(result["kernel"], np.float32)
         b = np.asarray(s_single.params["cls_head"]["out"]["kernel"])
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestFreezeStopGradient:
+    def test_frozen_leaves_unchanged_others_move(self, rng):
+        """freeze_stem stop-gradients stem/stage1: their params stay put,
+        trainable leaves update (reference models/resnet.py:100-103)."""
+        batch_np = _fake_batch(rng, batch=2)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        cfg = ModelConfig(num_classes=C, backbone="resnet10",
+                          compute_dtype="float32")
+        state = create_train_state(
+            jax.random.PRNGKey(0), cfg, image_shape=(H, W),
+            freeze_backbone_stem=True,
+        )
+        assert state.freeze_stem
+        s2, _ = jax.jit(train_step)(state, batch)
+        bb0, bb1 = state.params["backbone"], s2.params["backbone"]
+        stem_keys = [k for k in bb0 if k.startswith(("stem", "stage1"))]
+        assert stem_keys
+        for k in stem_keys:
+            np.testing.assert_array_equal(
+                np.asarray(jax.tree_util.tree_leaves(bb0[k])[0]),
+                np.asarray(jax.tree_util.tree_leaves(bb1[k])[0]),
+            )
+        later = [k for k in bb0 if not k.startswith(("stem", "stage1"))]
+        moved = any(
+            not np.array_equal(
+                np.asarray(jax.tree_util.tree_leaves(bb0[k])[0]),
+                np.asarray(jax.tree_util.tree_leaves(bb1[k])[0]),
+            )
+            for k in later
+        )
+        assert moved
