@@ -1,0 +1,43 @@
+"""Device kernel library: the framework's hand-tuned compute primitives.
+
+Most of pyrapose-tpu's compute path is plain XLA (convolutions and large
+matmuls belong to the compiler). This namespace indexes the pieces where a
+hand-written kernel or numeric specialization beats what XLA emits:
+
+- `refine_pose_batched_pallas` — fused Pallas TPU kernel running every
+  Gauss-Newton pose-refinement iteration in one VMEM-resident program
+  (pose/pallas_refine.py; ~12% end-to-end inference speedup over the HLO
+  pipeline on v5e).
+- `solve_spd`, `inverse_iteration_spd`, `cholesky_unrolled` — unrolled
+  small-matrix (6x6/12x12) linear algebra that vectorizes across batch
+  lanes instead of lowering to per-system LU custom calls
+  (utils/smallmat.py; 3x pose-stage speedup).
+- `heinsum`, `hmatmul` — HIGHEST-precision contractions for numerically
+  critical paths under a bf16 compute default (utils/precision.py).
+- `pairwise_iou` — the vectorized anchor-assignment IoU that replaces the
+  reference's Cython kernel (geometry/iou.py; C++ parity twin in
+  cpp/parity_kernels.cpp).
+"""
+
+from pyrapose_tpu.geometry.iou import pairwise_iou
+from pyrapose_tpu.pose.pallas_refine import (
+    refine_pose_batched,
+    refine_pose_batched_pallas,
+)
+from pyrapose_tpu.utils.precision import heinsum, hmatmul
+from pyrapose_tpu.utils.smallmat import (
+    cholesky_unrolled,
+    inverse_iteration_spd,
+    solve_spd,
+)
+
+__all__ = [
+    "pairwise_iou",
+    "cholesky_unrolled",
+    "heinsum",
+    "hmatmul",
+    "inverse_iteration_spd",
+    "refine_pose_batched",
+    "refine_pose_batched_pallas",
+    "solve_spd",
+]
