@@ -159,3 +159,63 @@ class TestInferencePallasPath:
         np.testing.assert_allclose(
             np.asarray(p_ref.trans), np.asarray(p_pl.trans), atol=5e-4
         )
+
+
+class TestMultiInstanceSelectRefine:
+    def test_select_plus_pallas_matches_fused_path(self):
+        """class_multi_poses_select + pallas refine == the pure
+        class_multi_poses_from_dense path (2 instances of one class)."""
+        import jax
+
+        from tests.test_multi_instance import (
+            CAM, _dense_votes, _rot_z, _spec,
+        )
+        from pyrapose_tpu.pose.pallas_refine import refine_pose_batched_pallas
+        from pyrapose_tpu.pose.ransac import (
+            RansacConfig,
+            class_multi_poses_from_dense,
+            class_multi_poses_select,
+        )
+
+        spec = _spec()
+        rot_a, t_a = _rot_z(15), np.array([-0.22, 0.02, 0.9], np.float32)
+        rot_b, t_b = _rot_z(-40), np.array([0.25, -0.05, 1.1], np.float32)
+        boxes3d, scores = _dense_votes(spec, {0: [(rot_a, t_a), (rot_b, t_b)]})
+        config = RansacConfig(
+            top_k=32, max_instances=2, min_instance_votes=5,
+            approx_top_k=False,
+        )
+        corners = jnp.asarray(spec.corners3d)
+        cam = jnp.asarray(CAM)
+
+        ref = class_multi_poses_from_dense(boxes3d, scores, corners, cam, config)
+
+        sel = class_multi_poses_select(boxes3d, scores, corners, cam, config)
+        c, n = sel["rot0"].shape[:2]
+        k = config.top_k
+        pts2d = jnp.broadcast_to(
+            sel["votes"].reshape(c, 1, k * 8, 2), (c, n, k * 8, 2)
+        ).reshape(c * n, k * 8, 2)
+        pts3d = jnp.broadcast_to(
+            jnp.tile(corners, (1, k, 1)).reshape(c, 1, k * 8, 3),
+            (c, n, k * 8, 3),
+        ).reshape(c * n, k * 8, 3)
+        cams = jnp.broadcast_to(cam.reshape(1, 1, 4), (c, n, 4)).reshape(c * n, 4)
+        rot, trans = refine_pose_batched_pallas(
+            sel["rot0"].reshape(c * n, 3, 3),
+            sel["trans0"].reshape(c * n, 3),
+            pts2d, pts3d,
+            sel["weights"].reshape(c * n, k * 8),
+            cams,
+            iterations=config.refine_iterations,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.valid), np.asarray(sel["valid"])
+        )
+        np.testing.assert_allclose(
+            rot.reshape(c, n, 3, 3), np.asarray(ref.rot), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            trans.reshape(c, n, 3), np.asarray(ref.trans), atol=5e-4
+        )
