@@ -177,4 +177,82 @@ void gn_refine_pose(double* rot, double* trans, const double* pts2d,
   trans[2] = t[2];
 }
 
+// Covariance-weighted Gauss-Newton: the exact residual of the reference's
+// Ceres cost (uncertainty_pnp.cpp:29-31), r = W * (proj - obs) with a
+// symmetric 2x2 weight matrix W = [[wxx, wxy], [wxy, wyy]] per point.
+// wgt (n,3) = wxx, wxy, wyy. Other args as gn_refine_pose.
+void gn_refine_pose_cov(double* rot, double* trans, const double* pts2d,
+                        const double* pts3d, const double* wgt, int n,
+                        const double* cam, int iterations, double damping) {
+  double r[3][3];
+  std::memcpy(r, rot, sizeof(r));
+  double t[3] = {trans[0], trans[1], trans[2]};
+  const double fx = cam[0], fy = cam[1], cx = cam[2], cy = cam[3];
+
+  for (int it = 0; it < iterations; ++it) {
+    double jtj[6][6] = {};
+    double jtr[6] = {};
+    for (int i = 0; i < n; ++i) {
+      const double* p = pts3d + i * 3;
+      double pc[3];
+      for (int d = 0; d < 3; ++d)
+        pc[d] = r[d][0] * p[0] + r[d][1] * p[1] + r[d][2] * p[2] + t[d];
+      double z = pc[2];
+      if (std::fabs(z) < 1e-6) z = 1e-6;
+      const double iz = 1.0 / z;
+      const double u = fx * pc[0] * iz + cx;
+      const double v = fy * pc[1] * iz + cy;
+      const double res[2] = {u - pts2d[i * 2 + 0], v - pts2d[i * 2 + 1]};
+      const double jp[2][3] = {{fx * iz, 0.0, -fx * pc[0] * iz * iz},
+                               {0.0, fy * iz, -fy * pc[1] * iz * iz}};
+      const double sk[3][3] = {{0, -pc[2], pc[1]},
+                               {pc[2], 0, -pc[0]},
+                               {-pc[1], pc[0], 0}};
+      double jac[2][6];
+      for (int rdx = 0; rdx < 2; ++rdx) {
+        for (int cdx = 0; cdx < 3; ++cdx) {
+          double s = 0;
+          for (int k = 0; k < 3; ++k) s += jp[rdx][k] * sk[k][cdx];
+          jac[rdx][cdx] = -s;
+          jac[rdx][3 + cdx] = jp[rdx][cdx];
+        }
+      }
+      // whiten: jw = W jac, rw = W res
+      const double wxx = wgt[i * 3 + 0], wxy = wgt[i * 3 + 1],
+                   wyy = wgt[i * 3 + 2];
+      double jw[2][6];
+      for (int cdx = 0; cdx < 6; ++cdx) {
+        jw[0][cdx] = wxx * jac[0][cdx] + wxy * jac[1][cdx];
+        jw[1][cdx] = wxy * jac[0][cdx] + wyy * jac[1][cdx];
+      }
+      const double rw[2] = {wxx * res[0] + wxy * res[1],
+                            wxy * res[0] + wyy * res[1]};
+      for (int a = 0; a < 6; ++a) {
+        for (int b = 0; b < 6; ++b)
+          jtj[a][b] += jw[0][a] * jw[0][b] + jw[1][a] * jw[1][b];
+        jtr[a] += jw[0][a] * rw[0] + jw[1][a] * rw[1];
+      }
+    }
+    for (int a = 0; a < 6; ++a) jtj[a][a] += damping * (1.0 + jtj[a][a]);
+    double delta[6];
+    double neg[6];
+    for (int a = 0; a < 6; ++a) neg[a] = -jtr[a];
+    if (!solve6(jtj, neg, delta)) break;
+    double dr[3][3], rnew[3][3];
+    axis_angle_to_r(delta, dr);
+    matmul33(dr, r, rnew);
+    std::memcpy(r, rnew, sizeof(r));
+    double tn[3];
+    for (int a = 0; a < 3; ++a)
+      tn[a] = dr[a][0] * t[0] + dr[a][1] * t[1] + dr[a][2] * t[2] + delta[3 + a];
+    t[0] = tn[0];
+    t[1] = tn[1];
+    t[2] = tn[2];
+  }
+  std::memcpy(rot, r, sizeof(r));
+  trans[0] = t[0];
+  trans[1] = t[1];
+  trans[2] = t[2];
+}
+
 }  // extern "C"

@@ -34,6 +34,7 @@ import numpy as np
 from PIL import Image
 
 from pyrapose_tpu.data.augment import AugmentConfig, augment_sample
+from pyrapose_tpu.data.image import compute_resize_scale, resize_letterbox
 from pyrapose_tpu.data.pipeline import GroundTruth, pad_ground_truth, stack_ground_truth
 from pyrapose_tpu.data.spec import DatasetSpec, dataset_spec
 
@@ -230,6 +231,20 @@ class BopDataset:
         transs = np.asarray(transs, np.float32).reshape(-1, 3)
         labels = np.asarray(labels, np.int32).reshape(-1)
 
+        # Native-resolution frames are scale-letterboxed to the static
+        # spec.image_shape (the TPU equivalent of the reference's min/max-side
+        # variable resize, utils/image.py:281-323 + generator.py:278-294):
+        # boxes and intrinsics scale with the image, poses are untouched —
+        # fx,fy,cx,cy absorb the scale so reprojection stays consistent.
+        if image.shape[:2] != tuple(self.spec.image_shape):
+            image, cam_adj, scale = resize_letterbox(
+                image, self.spec.image_shape, cam
+            )
+            cam = cam_adj
+            boxes = boxes * scale
+            if mask_img is not None:
+                mask_img = self._letterbox_nearest(mask_img, scale)
+
         do_aug = self.augment is not None if augment is None else augment
         if do_aug and len(boxes):
             image, boxes, transs, mask_img, keep = augment_sample(
@@ -244,6 +259,20 @@ class BopDataset:
             boxes, rots, transs, labels, cam, mask_slots, self.max_instances
         )
         return image, gt
+
+    def _letterbox_nearest(self, plane: np.ndarray, scale: float) -> np.ndarray:
+        """Nearest-neighbour letterbox of an id/depth plane onto the spec
+        canvas with the SAME scale used for the RGB image (zero-fill pad)."""
+        th, tw = self.spec.image_shape
+        h, w = plane.shape[:2]
+        nh = min(max(int(round(h * scale)), 1), th)
+        nw = min(max(int(round(w * scale)), 1), tw)
+        resized = np.asarray(
+            Image.fromarray(plane).resize((nw, nh), Image.NEAREST)
+        )
+        out = np.zeros((th, tw), plane.dtype)
+        out[:nh, :nw] = resized
+        return out
 
     def _mask_to_slots(self, mask_img: np.ndarray | None, mask_ids: list) -> np.ndarray:
         """Instance-id mask -> P3-resolution slot-index map (-1 background)."""
@@ -278,8 +307,17 @@ class BopDataset:
         depth = np.zeros((len(indices), h, w), np.float32)
         for j, i in enumerate(indices):
             d = self.load_depth(i)
-            if d is not None:
-                depth[j, : d.shape[0], : d.shape[1]] = d[:h, :w]
+            if d is None:
+                continue
+            if d.shape[:2] != (h, w):
+                # same letterbox scale as the RGB frame (depth values stay
+                # metric; the scaled intrinsics keep backprojection exact)
+                scale = min(
+                    compute_resize_scale(d.shape[:2], min(h, w), max(h, w)),
+                    h / d.shape[0], w / d.shape[1],
+                )
+                d = self._letterbox_nearest(d, scale)
+            depth[j] = d
         return out + (depth,)
 
     def epoch_batches(

@@ -1,5 +1,9 @@
 from pyrapose_tpu.pose.epnp import epnp
-from pyrapose_tpu.pose.refine import refine_pose
+from pyrapose_tpu.pose.refine import (
+    refine_pose,
+    refine_pose_cov,
+    scalar_weights_from_covariance,
+)
 from pyrapose_tpu.pose.ransac import (
     MultiPoseResult,
     RansacConfig,

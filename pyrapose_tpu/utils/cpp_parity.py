@@ -22,10 +22,14 @@ def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_CPP_DIR, "parity_kernels.cpp")
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)
+    )
+    if stale:
         subprocess.run(
-            ["g++", "-O2", "-fPIC", "-shared", "-o", _LIB_PATH,
-             os.path.join(_CPP_DIR, "parity_kernels.cpp")],
+            ["g++", "-O2", "-fPIC", "-shared", "-o", _LIB_PATH, src],
             check=True,
         )
     lib = ctypes.CDLL(_LIB_PATH)
@@ -34,12 +38,14 @@ def load_library() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float),
     ]
-    lib.gn_refine_pose.argtypes = [
+    gn_sig = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.c_int,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_double,
     ]
+    lib.gn_refine_pose.argtypes = gn_sig
+    lib.gn_refine_pose_cov.argtypes = gn_sig
     _lib = lib
     return lib
 
@@ -79,6 +85,32 @@ def cpp_gn_refine(
     w = np.ascontiguousarray(weights, np.float64)
     c = np.ascontiguousarray(cam, np.float64)
     lib.gn_refine_pose(
+        _dptr(r), _dptr(t), _dptr(p2), _dptr(p3), _dptr(w), len(p3), _dptr(c),
+        iterations, damping,
+    )
+    return r, t
+
+
+def cpp_gn_refine_cov(
+    rot: np.ndarray,
+    trans: np.ndarray,
+    pts2d: np.ndarray,
+    pts3d: np.ndarray,
+    cov_weights: np.ndarray,
+    cam: np.ndarray,
+    iterations: int = 5,
+    damping: float = 1e-3,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Covariance-weighted GN (cov_weights (n,3) = wxx, wxy, wyy): the
+    reference Ceres cost's weight matrix, uncertainty_pnp.cpp:29-31."""
+    lib = load_library()
+    r = np.ascontiguousarray(rot, np.float64).copy()
+    t = np.ascontiguousarray(trans, np.float64).copy()
+    p2 = np.ascontiguousarray(pts2d, np.float64)
+    p3 = np.ascontiguousarray(pts3d, np.float64)
+    w = np.ascontiguousarray(cov_weights, np.float64)
+    c = np.ascontiguousarray(cam, np.float64)
+    lib.gn_refine_pose_cov(
         _dptr(r), _dptr(t), _dptr(p2), _dptr(p3), _dptr(w), len(p3), _dptr(c),
         iterations, damping,
     )

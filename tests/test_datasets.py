@@ -100,6 +100,41 @@ class TestRegistry:
         # linemod.py:238-241; units must be self-consistent)
         assert gt.trans[0, 2] == pytest.approx(0.9)
 
+    def test_letterbox_to_spec_resolution(self, tmp_path):
+        """Native 480x640 frames load at ANY spec.image_shape: the loader
+        scale-letterboxes image/mask/boxes and scales intrinsics so the
+        projection is preserved (the CLI's --image-min/max-side path)."""
+        import dataclasses
+
+        obj_ids = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
+        _make_bop_tree(str(tmp_path), obj_ids, with_depth=True)
+        ds_native = create_dataset("linemod", str(tmp_path))
+        spec_small = dataclasses.replace(
+            ds_native.spec, image_shape=(64, 64)
+        )
+        ds = create_dataset("linemod", str(tmp_path), spec=spec_small)
+
+        img, gt = ds.sample(0)
+        assert img.shape == (64, 64, 3)
+        # 480x640 -> 64x64 canvas: scale = 64/640 = 0.1, bottom pad rows 48+
+        assert img[49:, :, :].sum() == 0
+        img_n, gt_n = ds_native.sample(0)
+        scale = 64 / 640
+        np.testing.assert_allclose(gt.cam, gt_n.cam * scale, rtol=1e-6)
+        np.testing.assert_allclose(
+            gt.boxes[gt.valid], gt_n.boxes[gt_n.valid] * scale, rtol=1e-5
+        )
+        # poses untouched: intrinsics absorb the scale
+        np.testing.assert_allclose(gt.trans[gt.valid], gt_n.trans[gt_n.valid])
+        # P3 mask raster lives on the 64x64 grid
+        assert gt.mask_slots.shape == (8 * 8,)
+
+        # depth letterboxes with the same scale, values stay metric
+        _, _, depth = ds.batch([0], with_depth=True)
+        assert depth.shape == (1, 64, 64)
+        assert depth.max() == pytest.approx(0.9)
+        assert depth[0, 49:, :].sum() == 0
+
     def test_occlusion_subset(self, tmp_path):
         # models_info covers 13 objects; LM-O keeps its 8-object subset
         obj_ids = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
