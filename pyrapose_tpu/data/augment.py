@@ -149,7 +149,9 @@ def photometric_augment(rng: np.random.Generator, image: np.ndarray) -> np.ndarr
 
     def gamma(x):
         g = rng.uniform(0.75, 1.25)
-        return ((x / 255.0) ** g) * 255.0
+        # clamp first: earlier add/contrast ops can push pixels negative and
+        # a fractional power of a negative is NaN (poisons the final cast)
+        return ((np.clip(x, 0.0, None) / 255.0) ** g) * 255.0
 
     def linear_contrast(x):
         a = rng.uniform(0.7, 1.3)

@@ -57,6 +57,20 @@ class TestPreprocess:
         np.testing.assert_allclose(out[0, 0, 0], [128 - 123.68, 128 - 116.779, 128 - 103.939], atol=1e-3)
 
 
+class TestPhotometric:
+    def test_output_always_finite_uint8(self):
+        """Chained add/contrast ops can push pixels negative; the gamma op
+        must not turn those into NaN (fractional power of a negative)."""
+        from pyrapose_tpu.data.augment import photometric_augment
+
+        rng = np.random.default_rng(3)
+        for _ in range(100):
+            img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+            out = photometric_augment(rng, img.astype(np.float32))
+            assert out.dtype == np.uint8
+            assert np.isfinite(out.astype(np.float64)).all()
+
+
 class TestSynthetic:
     def test_deterministic(self):
         spec = dataclasses.replace(LINEMOD_SPEC, image_shape=(128, 128))
