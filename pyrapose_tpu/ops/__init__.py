@@ -17,9 +17,18 @@ hand-written kernel or numeric specialization beats what XLA emits:
 - `pairwise_iou` — the vectorized anchor-assignment IoU that replaces the
   reference's Cython kernel (geometry/iou.py; C++ parity twin in
   cpp/parity_kernels.cpp).
+- `refine_pose` / `refine_pose_cov` — analytic-Jacobian Gauss-Newton pose
+  refinement with scalar or full symmetric 2x2 per-point weights (the Ceres
+  ReprojectionErrorArray cost of the reference's uncertainty_pnp,
+  pose/refine.py; C++ parity twins in cpp/parity_kernels.cpp).
 """
 
 from pyrapose_tpu.geometry.iou import pairwise_iou
+from pyrapose_tpu.pose.refine import (
+    refine_pose,
+    refine_pose_cov,
+    scalar_weights_from_covariance,
+)
 from pyrapose_tpu.pose.pallas_refine import (
     refine_pose_batched,
     refine_pose_batched_pallas,
@@ -37,7 +46,10 @@ __all__ = [
     "heinsum",
     "hmatmul",
     "inverse_iteration_spd",
+    "refine_pose",
     "refine_pose_batched",
     "refine_pose_batched_pallas",
+    "refine_pose_cov",
+    "scalar_weights_from_covariance",
     "solve_spd",
 ]
