@@ -68,10 +68,13 @@ def _time(fn, args, iters, warmup, ready):
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # defaults from the v5e batch sweep: inference throughput still rises at
+    # 64 (513 -> 529 -> 542 img/s/chip for 16/32/64); the fused train step
+    # peaks at 16 (146/153/131 for 8/16/32 — HBM pressure past 16)
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
+    train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
     with_train = os.environ.get("BENCH_TRAIN", "1") != "0"
 
     spec = LINEMOD_SPEC

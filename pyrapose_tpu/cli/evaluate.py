@@ -49,7 +49,17 @@ def run_evaluate(args) -> int:
         score_threshold=args.score_threshold,
         max_instances=max(getattr(args, "max_instances", 1), 1),
     )
-    infer = build_inference_fn(model, spec.corners3d, spec.image_shape, ransac)
+    # multi-chip: batch-shard inference over the data mesh when the batch
+    # divides the device count (serving-style DP over ICI, zero collectives)
+    mesh = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        from pyrapose_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        print(f"devices: {jax.device_count()} (batch-sharded inference)")
+    infer = build_inference_fn(
+        model, spec.corners3d, spec.image_shape, ransac, mesh=mesh
+    )
 
     use_icp = bool(getattr(args, "icp", False))
     want_depth = not getattr(args, "no_depth", False)
@@ -61,9 +71,11 @@ def run_evaluate(args) -> int:
         with_depth = use_icp and want_depth
 
         def batches():
-            for i in range(0, 64, args.batch_size):
+            # full batches only (matches epoch_batches; keeps shapes static
+            # for the jitted — possibly mesh-sharded — inference fn)
+            for i in range(0, 64 - 64 % args.batch_size, args.batch_size):
                 yield ds.batch(
-                    list(range(i, min(i + args.batch_size, 64))),
+                    list(range(i, i + args.batch_size)),
                     with_depth=with_depth,
                 )
 

@@ -36,6 +36,7 @@ def build_inference_fn(
     image_shape: tuple[int, int] = (480, 640),
     ransac: RansacConfig = RansacConfig(),
     with_pose: bool = True,
+    mesh=None,
 ):
     """Returns jit(fn(variables, images_u8, cam) -> (PoseResult, aux)).
 
@@ -44,6 +45,11 @@ def build_inference_fn(
         corners3d: (C, 8, 3) object-frame box corners per class.
         image_shape: static input resolution.
         with_pose: if False, stop after dense decode (detection-only path).
+        mesh: optional jax.sharding.Mesh — batch-shards inference over the
+            mesh's 'data' axis via shard_map (params replicated, every
+            per-image stage including the Pallas refine kernel runs locally
+            per device; zero collectives — serving-style throughput scaling
+            over ICI). Batch must divide the data-axis size.
     """
     from pyrapose_tpu.pose.ransac import precompute_class_solvers
 
@@ -52,7 +58,6 @@ def build_inference_fn(
     # per-class EPnP constants hoisted to the host (corners are static)
     precomp = precompute_class_solvers(corners3d)
 
-    @jax.jit
     def infer(variables: Any, images_u8: jnp.ndarray, cam: jnp.ndarray):
         images = preprocess_images(images_u8)
         out = model.apply(variables, images, train=False)
@@ -144,7 +149,24 @@ def build_inference_fn(
             inlier_frac=multi.inlier_frac[:, :, 0],
         )
 
-    return infer
+    if mesh is None:
+        return jax.jit(infer)
+
+    from jax.sharding import PartitionSpec as P
+
+    from pyrapose_tpu.parallel.mesh import DATA_AXIS
+
+    data = P(DATA_AXIS)
+    # out_specs as pytree prefixes: every output carries a leading batch
+    # axis (the detection-only path's leading None is an empty subtree).
+    mapped = jax.shard_map(
+        infer,
+        mesh=mesh,
+        in_specs=(P(), data, data),
+        out_specs=(data, data),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
 
 
 def poses_to_host(result: PoseResult) -> list[dict]:
