@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--image-max-side", type=int, default=640)
     t.add_argument("--no-augment", action="store_true")
     t.add_argument("--freeze-backbone", action="store_true")
+    t.add_argument(
+        "--remat", action="store_true",
+        help="block-level rematerialization: ~3x less activation memory per "
+             "backbone block for ~1 extra block forward in the backward "
+             "(for batch sizes / resolutions past HBM capacity)",
+    )
     t.add_argument("--seed", type=int, default=0)
     t.add_argument(
         "--workers", type=int, default=2,

@@ -141,6 +141,8 @@ def run_train(args) -> int:
         print(f"anchor parameters from {args.config}: {anchors}")
 
     model_kwargs = dict(num_classes=spec.num_classes, backbone=args.backbone)
+    if getattr(args, "remat", False):
+        model_kwargs["remat"] = True
     pipe_kwargs = dict(image_shape=image_shape, num_classes=spec.num_classes)
     if anchors is not None:
         model_kwargs["anchors"] = anchors

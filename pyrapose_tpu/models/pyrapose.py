@@ -32,13 +32,17 @@ class ModelConfig:
     anchors: AnchorConfig = AnchorConfig()
     frozen_bn: bool = True
     compute_dtype: str = "bfloat16"
+    # block-level rematerialization: trade ~1 extra block forward in the
+    # backward pass for not storing intra-block activations (enables larger
+    # train batches under HBM pressure; no effect on inference)
+    remat: bool = False
 
     @property
     def dtype(self) -> jnp.dtype:
         return jnp.dtype(self.compute_dtype)
 
 
-def _make_backbone(name: str, dtype, frozen_bn: bool):
+def _make_backbone(name: str, dtype, frozen_bn: bool, remat: bool = False):
     """Backbone registry (reference models/__init__.py:55-65 dispatches by
     name substring to resnet/densenet/efficientnet builders)."""
     resnet_sizes = {
@@ -50,7 +54,7 @@ def _make_backbone(name: str, dtype, frozen_bn: bool):
     if name in resnet_sizes:
         return ResNet(
             stage_sizes=resnet_sizes[name], dtype=dtype, frozen_bn=frozen_bn,
-            name="backbone",
+            remat=remat, name="backbone",
         )
     if name.startswith("densenet"):
         from pyrapose_tpu.models.densenet import DenseNet
@@ -105,7 +109,7 @@ class PyraPose(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> dict[str, jnp.ndarray]:
         cfg = self.config
-        backbone = _make_backbone(cfg.backbone, cfg.dtype, cfg.frozen_bn)
+        backbone = _make_backbone(cfg.backbone, cfg.dtype, cfg.frozen_bn, cfg.remat)
         c3, c4, c5 = backbone(images, train=train)
         p3, p4, p5 = PFPN(cfg.feature_size, dtype=cfg.dtype, name="pfpn")((c3, c4, c5))
 

@@ -85,6 +85,43 @@ class TestPyraPose:
         kernel = variables["params"]["backbone"]["stem_conv"]["kernel"]
         assert kernel.dtype == jnp.float32
 
+    def test_remat_is_output_and_param_identical(self):
+        """remat=True (block-level jax.checkpoint) must not change the param
+        tree, the forward outputs, or gradient flow — it only trades compute
+        for activation memory."""
+        cfg = ModelConfig(
+            num_classes=2, backbone="resnet10", compute_dtype="float32"
+        )
+        model = create_model(cfg)
+        model_r = create_model(
+            ModelConfig(
+                num_classes=2, backbone="resnet10",
+                compute_dtype="float32", remat=True,
+            )
+        )
+        x = jnp.ones((2, H, W, 3), jnp.float32)
+        v = model.init(jax.random.PRNGKey(3), x)
+        out = model.apply(v, x, train=True)
+        out_r = model_r.apply(v, x, train=True)  # same tree -> same params
+        np.testing.assert_allclose(
+            np.asarray(out["cls_logits"]), np.asarray(out_r["cls_logits"]),
+            atol=1e-6,
+        )
+
+        def loss(params):
+            o = model_r.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}
+                if "batch_stats" in v else {"params": params},
+                x, train=True,
+            )
+            return jnp.sum(o["box3d"].astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        total = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.sum(jnp.abs(b))), g, 0.0
+        )
+        assert np.isfinite(total) and total > 0
+
     def test_anchor_count_matches_model(self):
         cfg = AnchorConfig()
         assert cfg.num_anchors((H, W)) == N_ANCHORS
