@@ -15,6 +15,8 @@ from pyrapose_tpu.train.checkpoint import restore_params
 
 
 def run_evaluate(args) -> int:
+    if args.dataset == "coco":
+        return run_evaluate_coco(args)
     spec = dataset_spec(
         args.dataset if args.dataset != "synthetic" else "linemod", args.data_path
     )
@@ -102,5 +104,85 @@ def run_evaluate(args) -> int:
     evaluate_by_name(
         args.dataset, spec, infer, variables, batches(),
         model_points=model_points, verbose=True, icp=use_icp,
+    )
+    return 0
+
+
+def run_evaluate_coco(args) -> int:
+    """Detection-only COCO mAP path (reference bin/evaluate.py coco branch
+    -> utils/coco_eval.py bbox AP)."""
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pyrapose_tpu.data.datasets import CocoDetectionDataset
+    from pyrapose_tpu.eval.detection import DetectionConfig, filter_detections
+    from pyrapose_tpu.eval.map import coco_map, evaluate_detections
+
+    set_name = args.set_name if args.set_name != "val" else "val2017"
+    ds = CocoDetectionDataset(args.data_path, set_name=set_name)
+    image_shape = (
+        getattr(args, "image_min_side", 480), getattr(args, "image_max_side", 640)
+    )
+    config = ModelConfig(num_classes=ds.num_classes, backbone=args.backbone)
+    model = PyraPose(config=config)
+
+    if args.snapshot:
+        params, batch_stats = restore_params(args.snapshot)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, *image_shape, 3), jnp.float32)
+        )
+        print("WARNING: no snapshot given, evaluating random weights")
+
+    # detection-only inference: dense decode, no pose recovery
+    corners_dummy = np.zeros((ds.num_classes, 8, 3), np.float32)
+    infer = build_inference_fn(
+        model, corners_dummy, image_shape, with_pose=False
+    )
+    det_cfg = DetectionConfig(score_threshold=args.score_threshold)
+    filt = jax.jit(
+        jax.vmap(
+            functools.partial(
+                filter_detections, image_shape=image_shape, config=det_cfg
+            )
+        )
+    )
+
+    detections, annotations = [], []
+    n = len(ds) - len(ds) % args.batch_size
+    for i in range(0, n, args.batch_size):
+        images, gt = ds.batch(
+            list(range(i, i + args.batch_size)), image_shape
+        )
+        cam = jnp.ones((len(images), 4), jnp.float32)
+        _, aux = infer(variables, jnp.asarray(images), cam)
+        det = filt(aux["boxes3d"], aux["scores"])
+        boxes = np.asarray(det.boxes)
+        scores = np.asarray(det.scores)
+        labels = np.asarray(det.labels)
+        for b in range(len(images)):
+            keep = labels[b] >= 0
+            detections.append(
+                dict(boxes=boxes[b][keep], scores=scores[b][keep],
+                     labels=labels[b][keep].astype(np.int64))
+            )
+            v = gt["valid"][b]
+            annotations.append(
+                dict(boxes=gt["boxes"][b][v],
+                     labels=gt["labels"][b][v].astype(np.int64))
+            )
+
+    voc = evaluate_detections(detections, annotations, ds.num_classes)
+    coco = coco_map(detections, annotations, ds.num_classes)
+    print(f"coco evaluation ({set_name}, {len(detections)} images):")
+    print(f"  mAP@0.5 (VOC): {voc['mAP']:.4f}")
+    print(
+        f"  AP@[.5:.95]: {coco['AP']:.4f}  AP50: {coco['AP50']:.4f}"
+        f"  AP75: {coco['AP75']:.4f}"
     )
     return 0

@@ -87,7 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     e = sub.add_parser("evaluate", help="evaluate ADD(-S) on a dataset")
-    e.add_argument("dataset", choices=DATASETS)
+    # + coco: detection-only bbox mAP (reference bin/evaluate.py:51-119)
+    e.add_argument("dataset", choices=DATASETS + ("coco",))
     e.add_argument("data_path", nargs="?", default=None)
     e.add_argument("snapshot", nargs="?", default=None, help="checkpoint path")
     e.add_argument("--backbone", default="resnet50")

@@ -149,3 +149,23 @@ class CocoDetectionDataset:
             labels[i] = self.cat_to_label[ann["category_id"]]
             valid[i] = True
         return image, {"boxes": boxes, "labels": labels, "valid": valid}
+
+    def batch(
+        self, indices: list[int], image_shape: tuple[int, int] = (480, 640)
+    ) -> tuple[np.ndarray, dict]:
+        """Letterboxed fixed-shape batch: COCO frames vary per image, so
+        each is scale-letterboxed to `image_shape` (the reference resizes
+        min/max-side per image, bin/evaluate.py:154-155) with GT boxes
+        scaled to match."""
+        from pyrapose_tpu.data.image import resize_letterbox
+
+        images, gts = [], []
+        for i in indices:
+            img, gt = self.sample(i)
+            img, _cam, scale = resize_letterbox(img, image_shape)
+            gt = dict(gt, boxes=gt["boxes"] * scale)
+            images.append(img)
+            gts.append(gt)
+        return np.stack(images), {
+            key: np.stack([g[key] for g in gts]) for key in gts[0]
+        }

@@ -115,7 +115,10 @@ def filter_detections(
     flat_idx = cls_idx.reshape(-1)
     flat_labels = jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), kc)
 
-    top_scores, sel = jax.lax.top_k(flat_scores, config.max_detections)
+    # few-class datasets: the per-class candidate pool can be smaller than
+    # max_detections; top_k requires k <= input size
+    k_out = min(config.max_detections, num_classes * kc)
+    top_scores, sel = jax.lax.top_k(flat_scores, k_out)
     sel_anchor = jnp.take(flat_idx, sel)
     ok = top_scores > config.score_threshold
     return Detections(
