@@ -20,6 +20,13 @@ from pyrapose_tpu.train.checkpoint import restore_params
 
 def run_infer(args) -> int:
     spec = dataset_spec(args.dataset, args.data_path)
+    image_shape = (
+        getattr(args, "image_min_side", 480), getattr(args, "image_max_side", 640)
+    )
+    if spec.image_shape != image_shape:
+        import dataclasses
+
+        spec = dataclasses.replace(spec, image_shape=image_shape)
     config = ModelConfig(num_classes=spec.num_classes)
     model = PyraPose(config=config)
     params, batch_stats = restore_params(args.snapshot)
@@ -28,7 +35,17 @@ def run_infer(args) -> int:
         variables["batch_stats"] = batch_stats
 
     ransac = RansacConfig(score_threshold=args.score_threshold)
-    infer = build_inference_fn(model, spec.corners3d, spec.image_shape, ransac)
+    # multi-chip: batch-shard over the data mesh when possible (the same
+    # shard_map DP path the evaluate CLI uses)
+    mesh = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        from pyrapose_tpu.parallel import create_mesh
+
+        mesh = create_mesh()
+        print(f"devices: {jax.device_count()} (batch-sharded inference)")
+    infer = build_inference_fn(
+        model, spec.corners3d, spec.image_shape, ransac, mesh=mesh
+    )
 
     paths = sorted(
         glob.glob(os.path.join(args.image_dir, "*.png"))

@@ -129,6 +129,8 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--output", default="poses.json")
     i.add_argument("--score-threshold", type=float, default=0.5)
     i.add_argument("--batch-size", type=int, default=8)
+    i.add_argument("--image-min-side", type=int, default=480)
+    i.add_argument("--image-max-side", type=int, default=640)
     i.add_argument(
         "--save-images",
         default=None,
