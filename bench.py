@@ -118,6 +118,9 @@ def main() -> None:
             "pose_stage_pct": round(100.0 * pose_share, 2),
         },
         "batch": batch,
+        # the host-loader training number below is host-CPU-bound; on this
+        # sandbox's core count it is a lower bound, not the TPU-VM number
+        "host_cores": os.cpu_count(),
     }
 
     # --- forward FLOPs + MFU -------------------------------------------------
@@ -178,6 +181,33 @@ def main() -> None:
             dt_train = (time.perf_counter() - t0) / t_iters
             extras["train_img_s_per_chip"] = round(
                 train_batch / dt_train / max(use, 1), 2
+            )
+
+            # --- real host-loader training throughput -----------------------
+            # threaded decode/augment workers + double-buffered device_put,
+            # the path `pyrapose train` actually runs (cli/train.py) — shows
+            # the host pipeline keeps the chip fed vs the pre-staged number
+            from pyrapose_tpu.data.prefetch import HostPrefetcher, device_prefetch
+
+            ds_h = SyntheticPoseDataset(
+                tspec, num_images=train_batch * (t_iters + 4), seed=1
+            )
+            loader = HostPrefetcher(ds_h, train_batch, num_workers=4)
+            it = device_prefetch(loader, mesh, depth=2)
+            imgs0, gt0 = next(it)  # warm (already compiled above)
+            state, parts = step(state, imgs0, gt0)
+            jax.block_until_ready(parts["loss"])
+            t0 = time.perf_counter()
+            steps_done = 0
+            for imgs_j, gt_j in it:
+                state, parts = step(state, imgs_j, gt_j)
+                steps_done += 1
+                if steps_done >= t_iters:
+                    break
+            jax.block_until_ready(parts["loss"])
+            dt_host = (time.perf_counter() - t0) / max(steps_done, 1)
+            extras["train_img_s_per_chip_hostloader"] = round(
+                train_batch / dt_host / max(use, 1), 2
             )
         except Exception as exc:  # keep the headline alive
             extras["train_error"] = str(exc)[:200]

@@ -168,12 +168,15 @@ class TestAnnotateBop:
         dataset_spec.cache_clear()
         ds = create_dataset("homebrewed", out, set_name="train")
         img, gt = ds.sample(0)
-        assert img.shape == (96, 128, 3)
+        # native 96x128 frames letterbox to the spec resolution; intrinsics
+        # scale along (640/128 = 5x), poses untouched
+        assert img.shape == (*ds.spec.image_shape, 3)
+        scale = ds.spec.image_shape[1] / 128
         # annotation 2 (visib 0.2) is dropped by the train-split visibility
         # filter (linemod.py:227-229)
         assert gt.valid.sum() == 1
         assert gt.trans[0, 2] == pytest.approx(0.9)  # mm -> m
-        assert gt.cam[0] == pytest.approx(500.0)
+        assert gt.cam[0] == pytest.approx(500.0 * scale)
 
 
 class TestSensorAugment:
