@@ -90,14 +90,60 @@ def build_inference_fn(
     use_pallas = ransac.pallas_refine
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    use_pallas_epnp = ransac.pallas_epnp
+    if use_pallas_epnp is None:
+        use_pallas_epnp = use_pallas
     # forcing the kernel on a non-TPU backend runs it in the interpreter
     # (tests); native Mosaic lowering happens on TPU only
     pallas_interpret = jax.devices()[0].platform != "tpu"
 
+    # per-class constants for the fused EPnP kernel (host, build time)
+    from pyrapose_tpu.pose.pallas_epnp import (
+        epnp_batched_pallas,
+        epnp_kernel_constants,
+    )
+
+    kc = epnp_kernel_constants(precomp)
+
     def _poses_pallas(boxes3d, scores, cam):
-        """Selection per image (vmapped), then ONE fused Pallas GN kernel
-        over every (image, class, instance) — pose/pallas_refine.py."""
+        """Selection per image (vmapped) with the per-vote EPnP solves
+        batched through ONE fused Pallas kernel (pose/pallas_epnp.py), then
+        ONE fused Pallas GN kernel over every (image, class, instance) —
+        pose/pallas_refine.py."""
         from pyrapose_tpu.pose.pallas_refine import refine_pose_batched_pallas
+        from pyrapose_tpu.pose.ransac import class_votes_topk
+
+        hyp = None
+        if use_pallas_epnp:
+            tk = jax.vmap(partial(class_votes_topk, config=ransac))(
+                boxes3d, scores
+            )
+            bb, cc, kk = tk["votes"].shape[:3]
+            tot = bb * cc * kk
+
+            def bcast_const(x):
+                x = jnp.asarray(x)
+                return jnp.broadcast_to(
+                    x[None, :, None], (bb, cc, kk) + x.shape[1:]
+                ).reshape(tot, x.shape[-1])
+
+            cams_e = jnp.broadcast_to(
+                cam[:, None, None, :], (bb, cc, kk, 4)
+            ).reshape(tot, 4)
+            rot_h, trans_h = epnp_batched_pallas(
+                tk["votes"].reshape(tot, 8, 2),
+                bcast_const(kc["alphas"]),
+                bcast_const(kc["amat"]),
+                bcast_const(kc["dw6"]),
+                bcast_const(kc["p3c"]),
+                bcast_const(kc["cw"]),
+                cams_e,
+                interpret=pallas_interpret,
+            )
+            hyp = (
+                rot_h.reshape(bb, cc, kk, 3, 3),
+                trans_h.reshape(bb, cc, kk, 3),
+            )
 
         sel = jax.vmap(
             partial(
@@ -106,7 +152,7 @@ def build_inference_fn(
                 config=ransac,
                 precomp=precomp,
             )
-        )(boxes3d, scores, cam=cam)
+        )(boxes3d, scores, cam=cam, hyp=hyp)
         b, c, n = sel["rot0"].shape[:3]
         k = ransac.top_k
         i_total = b * c * n

@@ -48,6 +48,11 @@ class RansacConfig:
     # (pose/pallas_refine.py) runs all iterations in one VMEM-resident
     # program instead of ~50 small HLO ops per iteration.
     pallas_refine: bool | None = None
+    # EPnP hypothesis-solver backend, same convention: the fused kernel
+    # (pose/pallas_epnp.py) batches every (image, class, vote) solve into
+    # one lane-parallel program (only used by build_inference_fn's Pallas
+    # path; the pure-JAX path always uses vmap of epnp_fast).
+    pallas_epnp: bool | None = None
     # instances recovered per class: greedy non-maximum suppression over the
     # hypothesis tournament — pick the winner, knock out its inlier votes,
     # re-score, repeat. 1 reproduces the reference's per-class loop; T-LESS
@@ -117,6 +122,38 @@ def ransac_pnp(
     return rot[0], trans[0], inlier_frac[0]
 
 
+def _topk_votes(boxes3d: jnp.ndarray, cls_scores: jnp.ndarray, config: RansacConfig):
+    """Shared top-K vote gather for one class of one image.
+
+    Deterministic — the fused-EPnP path runs it once outside the per-class
+    vmap and once inside; both see identical ops and inputs.
+    Returns (top_scores (K,), votes (K, 8, 2), num_votes ())."""
+    above = cls_scores > config.score_threshold
+    num_votes = jnp.sum(above.astype(jnp.int32))
+    gated = jnp.where(above, cls_scores, -1.0)
+    if config.approx_top_k:
+        top_scores, top_idx = jax.lax.approx_max_k(
+            gated, config.top_k, recall_target=0.95
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(gated, config.top_k)
+    votes = jnp.take(boxes3d, top_idx, axis=0).reshape(config.top_k, 8, 2)
+    return top_scores, votes, num_votes
+
+
+def class_votes_topk(
+    boxes3d: jnp.ndarray, scores: jnp.ndarray, config: RansacConfig
+):
+    """All-class top-K vote gather for one image (vmap over images).
+
+    Returns dict: top_scores (C, K), votes (C, K, 8, 2), num_votes (C,).
+    """
+    top_scores, votes, num_votes = jax.vmap(
+        lambda s: _topk_votes(boxes3d, s, config), in_axes=1
+    )(scores)
+    return {"top_scores": top_scores, "votes": votes, "num_votes": num_votes}
+
+
 def _ransac_select(
     votes_2d: jnp.ndarray,
     vote_scores: jnp.ndarray,
@@ -125,6 +162,7 @@ def _ransac_select(
     cam: jnp.ndarray,
     config: RansacConfig,
     precomp: dict | None = None,
+    hyp: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Hypothesis generation + greedy multi-instance tournament (no refine).
 
@@ -140,13 +178,17 @@ def _ransac_select(
     w_valid = jnp.where(vote_valid, vote_scores, 0.0)
 
     # One EPnP hypothesis per vote. Invalid votes still solve (fixed shape)
-    # but are excluded from the tournament below.
-    ones8 = jnp.ones((8,))
-    if precomp is not None:
-        solve = jax.vmap(lambda p2d: epnp_fast(p2d, ones8, precomp, cam))
+    # but are excluded from the tournament below. `hyp` short-circuits with
+    # externally batched solves (the fused Pallas EPnP kernel).
+    if hyp is not None:
+        rot_h, trans_h = hyp
     else:
-        solve = jax.vmap(lambda p2d: epnp(p2d, corners_3d, ones8, cam))
-    rot_h, trans_h = solve(votes_2d)  # (K, 3, 3), (K, 3)
+        ones8 = jnp.ones((8,))
+        if precomp is not None:
+            solve = jax.vmap(lambda p2d: epnp_fast(p2d, ones8, precomp, cam))
+        else:
+            solve = jax.vmap(lambda p2d: epnp(p2d, corners_3d, ones8, cam))
+        rot_h, trans_h = solve(votes_2d)  # (K, 3, 3), (K, 3)
 
     # Project the 8 corners under every hypothesis.
     pc = heinsum("hij,nj->hni", rot_h, corners_3d) + trans_h[:, None, :]
@@ -292,34 +334,29 @@ def class_multi_poses_select(
     cam: jnp.ndarray,
     config: RansacConfig = RansacConfig(),
     precomp: dict | None = None,
+    hyp: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ):
     """Selection stage of multi-instance pose recovery for one image.
 
     Runs the top-K vote gather + hypothesis tournament per class but defers
     the GN refinement, so callers can batch refinement across images and
-    classes in one fused kernel (pose/pallas_refine.py).
+    classes in one fused kernel (pose/pallas_refine.py). `hyp` optionally
+    supplies externally solved per-vote hypotheses (rot (C,K,3,3),
+    trans (C,K,3)) from the fused Pallas EPnP kernel, skipping the in-vmap
+    solves.
 
     Returns a dict with leading class axis: rot0 (C,N,3,3), trans0 (C,N,3),
     weights (C,N,K*8), votes (C,K,8,2), valid (C,N), num_votes (C,),
     score (C,N), inlier_frac (C,N).
     """
 
-    def per_class(cls_scores: jnp.ndarray, cls_corners: jnp.ndarray, cls_pre):
-        above = cls_scores > config.score_threshold
-        num_votes = jnp.sum(above.astype(jnp.int32))
-        gated = jnp.where(above, cls_scores, -1.0)
-        if config.approx_top_k:
-            top_scores, top_idx = jax.lax.approx_max_k(
-                gated, config.top_k, recall_target=0.95
-            )
-        else:
-            top_scores, top_idx = jax.lax.top_k(gated, config.top_k)
+    def per_class(cls_scores, cls_corners, cls_pre, cls_hyp):
+        top_scores, votes, num_votes = _topk_votes(boxes3d, cls_scores, config)
         vote_valid = top_scores > config.score_threshold
-        votes = jnp.take(boxes3d, top_idx, axis=0).reshape(config.top_k, 8, 2)
         rot0, trans0, weights, inst_valid, seed_score, inlier_frac = (
             _ransac_select(
                 votes, top_scores, vote_valid, cls_corners, cam, config,
-                precomp=cls_pre,
+                precomp=cls_pre, hyp=cls_hyp,
             )
         )
         # class-level detection gate (reference linemod_eval.py:331-334)
@@ -329,13 +366,16 @@ def class_multi_poses_select(
         score = seed_score.at[0].set(jnp.max(cls_scores))
         return rot0, trans0, weights, votes, valid, num_votes, score, inlier_frac
 
-    if precomp is not None:
-        pre = {k: jnp.asarray(v) for k, v in precomp.items()}
-        out = jax.vmap(per_class, in_axes=(1, 0, 0))(scores, corners_3d, pre)
-    else:
-        out = jax.vmap(lambda s, c: per_class(s, c, None), in_axes=(1, 0))(
-            scores, corners_3d
-        )
+    pre = (
+        {k: jnp.asarray(v) for k, v in precomp.items()}
+        if precomp is not None
+        else None
+    )
+    pre_axes = None if pre is None else 0
+    hyp_axes = None if hyp is None else 0
+    out = jax.vmap(per_class, in_axes=(1, 0, pre_axes, hyp_axes))(
+        scores, corners_3d, pre, hyp
+    )
     keys = (
         "rot0", "trans0", "weights", "votes", "valid", "num_votes", "score",
         "inlier_frac",
