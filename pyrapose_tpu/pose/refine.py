@@ -20,7 +20,6 @@ Two weight parameterizations, matching the reference's two entry points:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from pyrapose_tpu.geometry.rotation import axis_angle_to_matrix
