@@ -11,7 +11,7 @@ from pyrapose_tpu.eval.drivers import evaluate_by_name, load_model_points
 from pyrapose_tpu.inference import build_inference_fn
 from pyrapose_tpu.models import ModelConfig, PyraPose
 from pyrapose_tpu.pose import RansacConfig
-from pyrapose_tpu.train.checkpoint import restore_params
+from pyrapose_tpu.train.checkpoint import restore_params, restore_variables
 
 
 def run_evaluate(args) -> int:
@@ -34,7 +34,11 @@ def run_evaluate(args) -> int:
     model = PyraPose(config=config)
 
     if args.snapshot:
-        params, batch_stats = restore_params(args.snapshot)
+        # orbax directory or keras .h5 (the reference's inline
+        # --convert-model, bin/evaluate.py:214-215)
+        params, batch_stats = restore_variables(
+            args.snapshot, config=config, image_shape=spec.image_shape
+        )
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

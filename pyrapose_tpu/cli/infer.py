@@ -15,7 +15,7 @@ from pyrapose_tpu.data.spec import dataset_spec
 from pyrapose_tpu.inference import build_inference_fn
 from pyrapose_tpu.models import ModelConfig, PyraPose
 from pyrapose_tpu.pose import RansacConfig
-from pyrapose_tpu.train.checkpoint import restore_params
+from pyrapose_tpu.train.checkpoint import restore_variables
 
 
 def run_infer(args) -> int:
@@ -27,9 +27,14 @@ def run_infer(args) -> int:
         import dataclasses
 
         spec = dataclasses.replace(spec, image_shape=image_shape)
-    config = ModelConfig(num_classes=spec.num_classes)
+    config = ModelConfig(
+        num_classes=spec.num_classes,
+        backbone=getattr(args, "backbone", "resnet50"),
+    )
     model = PyraPose(config=config)
-    params, batch_stats = restore_params(args.snapshot)
+    params, batch_stats = restore_variables(
+        args.snapshot, config=config, image_shape=spec.image_shape
+    )
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats

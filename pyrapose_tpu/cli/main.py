@@ -30,6 +30,21 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--lr", type=float, default=1e-5)  # train.py:101
     t.add_argument("--snapshot-path", default="checkpoints")
     t.add_argument("--snapshot", default=None, help="checkpoint to resume from")
+    t.add_argument(
+        "--auto-resume", action="store_true",
+        help="resume from the newest checkpoint in --snapshot-path if one "
+        "exists (preemption recovery: restart the same command after a kill)",
+    )
+    t.add_argument(
+        "--max-steps", type=int, default=0,
+        help="stop after this many global steps with a graceful save "
+        "(wall-clock-bounded / preemptible jobs); 0 = epochs only",
+    )
+    t.add_argument(
+        "--save-every", type=int, default=0,
+        help="also checkpoint every N steps (mid-epoch preemption safety); "
+        "0 = per-epoch only",
+    )
     t.add_argument("--image-min-side", type=int, default=480)
     t.add_argument("--image-max-side", type=int, default=640)
     t.add_argument("--no-augment", action="store_true")
@@ -49,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--prefetch", type=int, default=2,
         help="batches kept resident on device ahead of compute",
+    )
+    t.add_argument(
+        "--cache-images", type=float, default=0.0, metavar="GB",
+        help="decoded-frame RAM cache: after the first epoch, PNG decode "
+        "cost disappears from the host loader (0 = off; the reference "
+        "re-decodes every epoch, generator.py:223-226)",
     )
     t.add_argument(
         "--eval-every", type=int, default=0,
@@ -77,6 +98,26 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--pretrained-file", default=None,
         help="pre-downloaded ImageNet .h5 (for air-gapped environments)",
+    )
+    t.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="multi-host training: jax.distributed coordinator address "
+        "(run the same command on every host; greenfield extension — the "
+        "reference has no multi-node path, SURVEY §2.3)",
+    )
+    t.add_argument(
+        "--num-processes", type=int, default=None,
+        help="total processes in the multi-host cluster (auto-detected on "
+        "Cloud TPU pods)",
+    )
+    t.add_argument(
+        "--process-id", type=int, default=None,
+        help="this process's rank (auto-detected on Cloud TPU pods)",
+    )
+    t.add_argument(
+        "--cpu-rehearsal", action="store_true",
+        help="with --coordinator: run the multi-host cluster on CPU (gloo "
+        "collectives) — single-machine rehearsal of the pod layout",
     )
     t.add_argument(
         "--spatial", type=int, default=1,
@@ -125,6 +166,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("dataset", choices=DATASETS)
     i.add_argument("image_dir")
     i.add_argument("snapshot")
+    i.add_argument("--backbone", default="resnet50")
     i.add_argument("--data-path", default=None)
     i.add_argument("--output", default="poses.json")
     i.add_argument("--score-threshold", type=float, default=0.5)
@@ -177,6 +219,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of background images (e.g. COCO)")
     r.add_argument("--obj-ids", type=int, nargs="*", default=None)
     r.add_argument("--seed", type=int, default=0)
+
+    f = sub.add_parser(
+        "fps",
+        help="farthest-point-sample mesh control points -> features.json "
+        "(reference FPS.py:17-99, minus the open3d viewer)",
+    )
+    f.add_argument("models_dir", help="directory with obj_*.ply meshes")
+    f.add_argument("--output", default="features.json")
+    f.add_argument("--points", type=int, default=8,
+                   help="control points per object (reference default 8)")
 
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--batch-size", type=int, default=16)
@@ -276,6 +328,27 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"rendered {len(index['images'])} images, "
             f"{len(index['annotations'])} annotations to {args.output}"
+        )
+        return 0
+    if args.command == "fps":
+        import glob
+        import os
+        import re
+
+        from pyrapose_tpu.utils.fps import write_features_json
+
+        model_paths = {}
+        for path in sorted(glob.glob(os.path.join(args.models_dir, "*.ply"))):
+            m = re.search(r"obj_0*(\d+)", os.path.basename(path))
+            if m:
+                model_paths[int(m.group(1))] = path
+        if not model_paths:
+            print(f"no obj_*.ply meshes found in {args.models_dir}")
+            return 1
+        features = write_features_json(model_paths, args.output, k=args.points)
+        print(
+            f"wrote {args.points} control points for {len(features)} objects "
+            f"to {args.output}"
         )
         return 0
     if args.command == "bench":

@@ -58,6 +58,7 @@ def _build_dataset(args, spec, augment, set_name="train"):
         spec=spec,
         augment=AugmentConfig() if (augment and set_name == "train") else None,
         seed=args.seed,
+        cache_bytes=int(getattr(args, "cache_images", 0.0) * 2**30),
     )
 
 
@@ -84,9 +85,14 @@ class MetricsLogger:
             self._f.close()
 
 
-def _epoch_schedule(dataset_len, batch_size, steps, epoch, rng):
+def _epoch_schedule(dataset_len, batch_size, steps, epoch, seed):
     """Deterministic per-epoch index schedule (shuffled without replacement,
-    wrapping across the dataset)."""
+    wrapping across the dataset).
+
+    Seeded by (seed, epoch) — NOT a sequential stream — so a preempted run
+    resumed at any global step reconstructs the exact schedule it would have
+    seen, without replaying earlier epochs."""
+    rng = np.random.default_rng((seed, epoch))
     order = rng.permutation(dataset_len)
     idx = [
         [int(order[(s * batch_size + j) % dataset_len]) for j in range(batch_size)]
@@ -95,14 +101,17 @@ def _epoch_schedule(dataset_len, batch_size, steps, epoch, rng):
     return idx
 
 
-def _run_eval(args, spec, state, val_dataset, model_points):
-    """ADD(-S) recall on the validation split with current params."""
+def _run_eval(args, spec, state, val_dataset, model_points, config):
+    """ADD(-S) recall on the validation split with current params.
+
+    `config` is the SAME ModelConfig training uses (incl. any --config anchor
+    override) so the validation decode matches the trained anchor layout.
+    """
     from pyrapose_tpu.eval.drivers import evaluate_by_name
     from pyrapose_tpu.inference import build_inference_fn
     from pyrapose_tpu.models import PyraPose
     from pyrapose_tpu.pose import RansacConfig
 
-    config = ModelConfig(num_classes=spec.num_classes, backbone=args.backbone)
     model = PyraPose(config=config)
     variables = {"params": state.params}
     if state.batch_stats:
@@ -127,6 +136,22 @@ def _run_eval(args, spec, state, val_dataset, model_points):
 
 
 def run_train(args) -> int:
+    if getattr(args, "coordinator", None):
+        # multi-host: join the cluster BEFORE any device use; afterwards
+        # jax.devices() is global and the jitted step spans all processes
+        from pyrapose_tpu.parallel import multihost
+
+        multihost.initialize_distributed(
+            args.coordinator,
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+            cpu=bool(getattr(args, "cpu_rehearsal", False)),
+        )
+        print(
+            f"process {jax.process_index()}/{jax.process_count()}: "
+            f"{jax.local_device_count()} local / {jax.device_count()} "
+            "global devices"
+        )
     image_shape = (args.image_min_side, args.image_max_side)
     spec = dataset_spec(args.dataset if args.dataset != "synthetic" else "linemod",
                         args.data_path)
@@ -153,8 +178,25 @@ def run_train(args) -> int:
     import math
 
     n_dev = jax.device_count()
+    n_proc = jax.process_count()
     spatial = max(getattr(args, "spatial", 1), 1)
-    if spatial > 1:
+    if n_proc > 1:
+        if spatial > 1:
+            raise ValueError(
+                "--spatial with multi-host is not supported yet (spatial "
+                "sharding assumes all row shards are process-local)"
+            )
+        if args.batch_size % n_dev:
+            raise ValueError(
+                f"--batch-size {args.batch_size} must divide over "
+                f"{n_dev} global devices for multi-host DP"
+            )
+        mesh = create_mesh(jax.devices())
+        print(
+            f"devices: {n_dev} over {n_proc} processes "
+            f"({jax.devices()[0].platform}, global DP mesh)"
+        )
+    elif spatial > 1:
         from pyrapose_tpu.parallel import create_mesh_2d
 
         data_dev = math.gcd(args.batch_size, n_dev // spatial)
@@ -186,7 +228,10 @@ def run_train(args) -> int:
         config,
         image_shape=image_shape,
         learning_rate=args.lr,
-        freeze_backbone_stem=not args.freeze_backbone,
+        # stem/stage1 always frozen (reference models/resnet.py:100-103);
+        # --freeze-backbone freezes the whole backbone (bin/train.py:72-74)
+        freeze_backbone_stem=True,
+        freeze_backbone=args.freeze_backbone,
     )
     if getattr(args, "imagenet_weights", False) or getattr(
         args, "pretrained_file", None
@@ -202,9 +247,19 @@ def run_train(args) -> int:
             params=variables["params"], batch_stats=variables["batch_stats"]
         )
         print("backbone initialized from ImageNet weights")
-    if args.snapshot:
-        state = restore_checkpoint(state, args.snapshot)
-        print(f"resumed from {args.snapshot} at step {int(state.step)}")
+    snapshot = args.snapshot
+    if not snapshot and getattr(args, "auto_resume", False):
+        # preemption recovery: restart with identical args picks up where
+        # the previous incarnation saved (extends the reference's manual
+        # --snapshot restart, bin/train.py:291,336-343)
+        from pyrapose_tpu.train.checkpoint import latest_checkpoint
+
+        snapshot = latest_checkpoint(args.snapshot_path)
+        if snapshot:
+            print(f"--auto-resume: found {snapshot}")
+    if snapshot:
+        state = restore_checkpoint(state, snapshot)
+        print(f"resumed from {snapshot} at step {int(state.step)}")
 
     step_fn = make_fused_train_step(mesh, spec.corners3d, pipe, donate=True)
     dataset = _build_dataset(args, spec, augment=not args.no_augment)
@@ -237,36 +292,71 @@ def run_train(args) -> int:
     prefetch_depth = getattr(args, "prefetch", 2)
 
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // args.batch_size, 1)
-    sched_rng = np.random.default_rng(args.seed)
     profiling = False
 
-    for epoch in range(args.epochs):
+    max_steps = getattr(args, "max_steps", 0) or 0
+    save_every = getattr(args, "save_every", 0) or 0
+    primary = n_proc == 1 or jax.process_index() == 0
+    # resume mid-training: the (seed, epoch)-keyed schedule lets us jump to
+    # the exact (epoch, step-within-epoch) the previous incarnation reached
+    global_step = int(state.step)
+    start_epoch = min(global_step // steps_per_epoch, args.epochs)
+    done = False
+
+    for epoch in range(start_epoch, args.epochs):
         schedule = _epoch_schedule(
-            len(dataset), args.batch_size, steps_per_epoch, epoch, sched_rng
+            len(dataset), args.batch_size, steps_per_epoch, epoch, args.seed
         )
-        loader = HostPrefetcher(
-            dataset, args.batch_size, schedule=schedule,
-            num_workers=workers,
-        )
+        skip = global_step - epoch * steps_per_epoch
+        if skip > 0:
+            schedule = schedule[skip:]
+            print(f"resuming epoch {epoch + 1} at step {skip}/{steps_per_epoch}")
+        if not schedule:
+            continue
+        if n_proc > 1:
+            # every process derives the identical global schedule from the
+            # seed, then loads only its row slice of each batch
+            from pyrapose_tpu.parallel import multihost
+
+            local_schedule = multihost.shard_schedule(schedule)
+            prefetched = multihost.device_prefetch_global(
+                HostPrefetcher(
+                    dataset, args.batch_size // n_proc,
+                    schedule=local_schedule, num_workers=workers,
+                ),
+                mesh, depth=prefetch_depth,
+            )
+        else:
+            loader = HostPrefetcher(
+                dataset, args.batch_size, schedule=schedule,
+                num_workers=workers,
+            )
+            prefetched = device_prefetch(loader, mesh, depth=prefetch_depth)
         losses = []
         t0 = time.time()
-        for it, (images_u8, gt) in enumerate(
-            device_prefetch(loader, mesh, depth=prefetch_depth)
-        ):
-            if profile_dir and epoch == 0 and it == 1 and not profiling:
+        for it, (images_u8, gt) in enumerate(prefetched):
+            if profile_dir and epoch == start_epoch and it == 1 and not profiling:
                 # skip step 0 (compile); trace a small steady-state window
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
             state, parts = step_fn(state, images_u8, gt)
             losses.append(float(parts["loss"]))
+            global_step += 1
             if profiling and it >= profile_steps:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"profile written to {profile_dir}")
+            if save_every and global_step % save_every == 0 and primary:
+                path = save_checkpoint(state, args.snapshot_path)
+                print(f"step {global_step}: saved {path}")
+            if max_steps and global_step >= max_steps:
+                print(f"reached --max-steps {max_steps}; stopping")
+                done = True
+                break
         dt = time.time() - t0
         mean_loss = float(np.mean(losses))
-        imps = steps_per_epoch * args.batch_size / dt
+        imps = len(losses) * args.batch_size / dt
         lr = get_learning_rate(state)
         print(
             f"epoch {epoch + 1}/{args.epochs}: loss {mean_loss:.4f} "
@@ -275,21 +365,30 @@ def run_train(args) -> int:
         scalars = dict(
             epoch=epoch + 1, step=int(state.step), loss=mean_loss,
             lr=lr, img_s=round(imps, 2),
+            losses=[round(v, 6) for v in losses],
         )
-        if eval_every > 0 and (epoch + 1) % eval_every == 0:
-            report = _run_eval(args, spec, state, val_dataset, model_points)
+        if (not done and eval_every > 0 and (epoch + 1) % eval_every == 0
+                and primary):
+            report = _run_eval(args, spec, state, val_dataset, model_points,
+                               config)
             scalars["val_recall"] = report["mean_recall"]
             scalars["val_detection_rate"] = report["mean_detection_rate"]
             print(
                 f"  val: recall {report['mean_recall']:.4f} "
                 f"det {report['mean_detection_rate']:.4f}"
             )
-        logger.log(**scalars)
+        if primary:
+            logger.log(**scalars)
+        # the loss is replicated, so every process computes the same plateau
+        # decision without communicating
         new_lr = plateau.update(mean_loss, lr)
         if new_lr != lr:
             state = set_learning_rate(state, new_lr)
-        path = save_checkpoint(state, args.snapshot_path)
-        print(f"saved {path}")
+        if primary:
+            path = save_checkpoint(state, args.snapshot_path)
+            print(f"saved {path}")
+        if done:
+            break
     if profiling:
         jax.profiler.stop_trace()
     logger.close()

@@ -81,6 +81,7 @@ class BopDataset:
         visibility_threshold: float = 0.5,
         seed: int = 0,
         depth_scale: float = 1e-3,
+        cache_bytes: int = 0,
     ):
         self.data_dir = data_dir
         self.set_name = set_name
@@ -90,6 +91,15 @@ class BopDataset:
         self.rng = np.random.default_rng(seed)
         # uint16 depth PNG value -> meters (BOP stores mm)
         self.depth_scale = depth_scale
+        # Decoded-frame cache: PNG decode is the host loader's hottest stage
+        # on core-constrained hosts (the reference re-decodes every epoch in
+        # its fork workers, generator.py:223-226). Filled on first touch up
+        # to cache_bytes, then epochs serve RAM. Arrays are marked read-only
+        # (the pipeline never mutates frames in place); worker threads may
+        # race on the same fill — last write wins, both are identical.
+        self._cache_limit = int(cache_bytes)
+        self._cache: dict = {}
+        self._cache_used = 0
 
         self.spec = spec if spec is not None else dataset_spec(name, data_dir)
         # BOP object id -> contiguous class label
@@ -128,19 +138,39 @@ class BopDataset:
             )
         return np.asarray(self.spec.intrinsics, np.float32)
 
+    def _cached(self, key, produce):
+        if self._cache_limit <= 0:
+            return produce()
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        arr = produce()
+        if arr is not None and self._cache_used + arr.nbytes <= self._cache_limit:
+            arr.setflags(write=False)
+            self._cache[key] = arr
+            self._cache_used += arr.nbytes
+        return arr
+
     def load_image(self, index: int) -> np.ndarray:
         """RGB uint8 (the reference loads BGR for Caffe; we keep RGB and use
         an RGB-ordered mean, data/pipeline.py)."""
-        info = self.images[index]
-        img = Image.open(self._image_path(info, "_rgb")).convert("RGB")
-        return np.asarray(img, np.uint8)
+
+        def produce():
+            info = self.images[index]
+            img = Image.open(self._image_path(info, "_rgb")).convert("RGB")
+            return np.asarray(img, np.uint8)
+
+        return self._cached(("rgb", index), produce)
 
     def load_mask(self, index: int) -> np.ndarray | None:
-        info = self.images[index]
-        path = self._image_path(info, "_mask")
-        if not os.path.exists(path):
-            return None
-        return np.asarray(Image.open(path))
+        def produce():
+            info = self.images[index]
+            path = self._image_path(info, "_mask")
+            if not os.path.exists(path):
+                return None
+            return np.asarray(Image.open(path))
+
+        return self._cached(("mask", index), produce)
 
     def load_depth(self, index: int) -> np.ndarray | None:
         """(H, W) float32 depth in meters, or None when absent.

@@ -76,6 +76,7 @@ def create_dataset(
     max_instances: int = 16,
     augment: AugmentConfig | None = None,
     seed: int = 0,
+    cache_bytes: int = 0,
 ) -> BopDataset:
     """Instantiate a pose dataset by name (reference: bin/train.py:158-265
     per-dataset generator dispatch)."""
@@ -92,6 +93,7 @@ def create_dataset(
         max_instances=max_instances,
         augment=augment,
         seed=seed,
+        cache_bytes=cache_bytes,
     )
 
 

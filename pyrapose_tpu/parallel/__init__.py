@@ -6,3 +6,4 @@ from pyrapose_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from pyrapose_tpu.parallel import multihost

@@ -1,0 +1,130 @@
+"""Multi-host (multi-process) training support.
+
+Greenfield TPU-native extension (SURVEY §2.3: the reference has no multi-node
+code; its multi_gpu_model branch is dead, bin/train.py:80-86,355). Scaling
+past one host (TPU pods / multi-slice) in JAX means:
+
+- every process calls `jax.distributed.initialize` (coordinator rendezvous);
+- ONE global mesh spans all processes' devices; the jitted train step is the
+  SAME program as single-host — XLA routes the gradient all-reduce over ICI
+  within a slice and DCN across slices from the sharding annotations;
+- each process loads only its shard of every global batch (the epoch schedule
+  is derived from the seed, so all processes agree on it without
+  communication, and each takes its own row slice);
+- process-local arrays are assembled into global batch-sharded jax.Arrays
+  with `jax.make_array_from_process_local_data`;
+- checkpoints/metrics are written by process 0 only (parameters are
+  replicated, so its host copy is the global state).
+
+CPU rehearsal: `initialize_distributed(..., cpu=True)` selects the gloo
+collectives backend so an N-process × M-virtual-device cluster runs on one
+machine (tests/test_multihost.py, __graft_entry__.dryrun_multihost).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import numpy as np
+
+from pyrapose_tpu.parallel.mesh import batch_sharding
+
+
+def initialize_distributed(
+    coordinator_address: str,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    cpu: bool = False,
+) -> None:
+    """Join the multi-process cluster (call once, before any device use).
+
+    On Cloud TPU pods the three arguments are optional (auto-detected from
+    the TPU metadata); `cpu=True` forces the CPU platform + gloo collectives
+    for single-machine multi-process rehearsal.
+    """
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def shard_schedule(
+    schedule: list[list[int]],
+    process_index: int | None = None,
+    process_count: int | None = None,
+) -> list[list[int]]:
+    """Slice a GLOBAL per-step index schedule to this process's rows.
+
+    All processes build the identical schedule from the seed (cli/train.py
+    _epoch_schedule), then each keeps rows [pi*per : (pi+1)*per] of every
+    step — the loader touches only local data, no cross-host coordination.
+    """
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    out = []
+    for step in schedule:
+        if len(step) % pc:
+            raise ValueError(
+                f"global batch {len(step)} not divisible by {pc} processes"
+            )
+        per = len(step) // pc
+        out.append(step[pi * per : (pi + 1) * per])
+    return out
+
+
+def make_global_batch(batch: Any, mesh, sharding=None) -> Any:
+    """Process-local host arrays -> global batch-sharded jax.Arrays.
+
+    Each leaf's leading (batch) axis is the sharded one: local shape
+    (B_local, ...) becomes global (B_local * process_count, ...).
+    """
+    sharding = batch_sharding(mesh) if sharding is None else sharding
+    pc = jax.process_count()
+
+    def place(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * pc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def device_prefetch_global(
+    iterator: Iterable[Any],
+    mesh,
+    depth: int = 2,
+    transform: Callable[[Any], Any] | None = None,
+) -> Iterator[Any]:
+    """Multi-host twin of data.prefetch.device_prefetch: keeps `depth`
+    GLOBAL batches resident, assembled from each process's local loader
+    output, overlapping H2D + cross-process assembly with compute."""
+
+    def place(batch):
+        if transform is not None:
+            batch = transform(batch)
+        return make_global_batch(batch, mesh)
+
+    it = iter(iterator)
+    buf: list[Any] = []
+    try:
+        for _ in range(depth):
+            buf.append(place(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        nxt = buf.pop(0)
+        try:
+            buf.append(place(next(it)))
+        except StopIteration:
+            pass
+        yield nxt
+
+
+def is_primary() -> bool:
+    """True on the process that owns checkpoint/metric writes."""
+    return jax.process_index() == 0

@@ -108,63 +108,111 @@ class PoseEstimationNode:  # pragma: no cover - needs a ROS install
         del rospy
 
 
-def run_service(
-    estimator: PoseEstimator, srv_class=None
-):  # pragma: no cover - ROS only
-    """Service mode: `get_poses` returning PoseWithConfidence[]
-    (reference srv/returnPoses.srv, pyrapose_node.py:367-370).
+def _resolve_srv_types(srv_class, msg_class):
+    """Resolve the generated service/message classes.
 
-    srv_class must be a generated ROS service type (catkin builds it from a
-    returnPoses.srv definition: request `sensor_msgs/Image image`, response
-    `PoseWithConfidence[] poses`). rospy requires the generated class — a
-    plain callable/dict cannot carry _request_class/_response_class — so
-    without one this raises instead of registering a service that would
+    Resolution order: explicit argument, this repo's catkin package
+    (ros/pyrapose_ros — builds returnPoses.srv + PoseWithConfidence.msg, the
+    reference definitions srv/returnPoses.srv:1-2, msg/PoseWithConfidence.msg:
+    1-3), then the reference's sibling package name. rospy needs generated
+    classes (a plain callable cannot carry _request_class/_response_class),
+    so failing to find one raises instead of registering a service that would
     crash on first call.
     """
-    _require_ros()
-    import rospy
-
     if srv_class is None:
-        try:  # the reference's package name, if built in this workspace
-            from object_detector_msgs.srv import get_poses as srv_class  # type: ignore
+        try:
+            from pyrapose_ros.srv import returnPoses as srv_class  # type: ignore
         except ImportError:
-            raise NotImplementedError(
-                "run_service needs a generated ROS srv class (the "
-                "returnPoses.srv equivalent); pass it as srv_class or build "
-                "the message package in your catkin workspace"
-            )
+            try:  # the reference's package name, if built in this workspace
+                from object_detector_msgs.srv import get_poses as srv_class  # type: ignore
+            except ImportError:
+                raise RuntimeError(
+                    "run_service needs the generated returnPoses service "
+                    "class: build ros/pyrapose_ros in your catkin workspace "
+                    "(catkin_make / catkin build), or pass srv_class"
+                )
+    if msg_class is None:
+        try:
+            from pyrapose_ros.msg import PoseWithConfidence as msg_class  # type: ignore
+        except ImportError:
+            try:
+                from object_detector_msgs.msg import PoseWithConfidence as msg_class  # type: ignore
+            except ImportError:
+                raise RuntimeError(
+                    "PoseWithConfidence message type not built; build "
+                    "ros/pyrapose_ros in your catkin workspace"
+                )
+    return srv_class, msg_class
 
-    try:
-        from object_detector_msgs.msg import PoseWithConfidence  # type: ignore
-    except ImportError:
-        PoseWithConfidence = None
+
+def make_service_handler(
+    estimator: PoseEstimator,
+    srv_class,
+    msg_class,
+    latest_frame,
+):
+    """Build the `get_poses` service callback.
+
+    Reference semantics (pyrapose_node.py PoseEstimationServer:354-507): the
+    request is EMPTY (srv/returnPoses.srv:1-2) — the server estimates on the
+    most recent frame from the subscribed image topic. `latest_frame` is a
+    zero-arg callable returning that frame (H,W,3 uint8) or None.
+
+    Factored out of run_service so the full request->response path is
+    testable without a ROS install (tests/test_ros_node.py).
+    """
+    from geometry_msgs.msg import Pose
 
     def handle(req):
-        from cv_bridge import CvBridge
-        from geometry_msgs.msg import Pose
-
-        bridge = CvBridge()
-        image = np.asarray(bridge.imgmsg_to_cv2(req.image, "rgb8"), np.uint8)
-        results = estimator.estimate(image)
+        del req  # empty request (returnPoses.srv)
+        image = latest_frame()
         response = srv_class._response_class()
-        for r in results:
+        if image is None:
+            return response  # no frame received yet -> empty pose list
+        for r in estimator.estimate(np.asarray(image, np.uint8)):
             pose = Pose()
             pose.position.x, pose.position.y, pose.position.z = map(
                 float, r["trans"]
             )
             (pose.orientation.w, pose.orientation.x,
              pose.orientation.y, pose.orientation.z) = map(float, r["quat"])
-            if PoseWithConfidence is None:
-                raise NotImplementedError(
-                    "PoseWithConfidence message type not built; generate the "
-                    "msg package (reference msg/PoseWithConfidence.msg)"
-                )
-            entry = PoseWithConfidence()
+            entry = msg_class()
             entry.name = f"obj_{r['obj_id']:06d}"
             entry.confidence = float(r["score"])
             entry.pose = pose
             response.poses.append(entry)
         return response
 
-    rospy.Service("get_poses", srv_class, handle)
+    return handle
+
+
+def run_service(
+    estimator: PoseEstimator,
+    srv_class=None,
+    msg_class=None,
+    rgb_topic: str = "/camera/rgb/image_raw",
+    service_name: str = "get_poses",
+):
+    """Service mode: `get_poses` returning PoseWithConfidence[]
+    (reference srv/returnPoses.srv, pyrapose_node.py:367-370).
+
+    Subscribes to `rgb_topic` and answers each (empty-request) service call
+    with poses for the most recent frame, matching the reference server."""
+    _require_ros()
+    import rospy
+    from cv_bridge import CvBridge
+    from sensor_msgs.msg import Image
+
+    srv_class, msg_class = _resolve_srv_types(srv_class, msg_class)
+    bridge = CvBridge()
+    frame = {"image": None}
+
+    def _rgb_cb(msg):
+        frame["image"] = np.asarray(bridge.imgmsg_to_cv2(msg, "rgb8"), np.uint8)
+
+    rospy.Subscriber(rgb_topic, Image, _rgb_cb, queue_size=1)
+    handler = make_service_handler(
+        estimator, srv_class, msg_class, lambda: frame["image"]
+    )
+    rospy.Service(service_name, srv_class, handler)
     rospy.spin()

@@ -64,3 +64,32 @@ def restore_params(path: str) -> Any:
     checkpointer = ocp.PyTreeCheckpointer()
     restored = checkpointer.restore(os.path.abspath(path))
     return restored["params"], restored.get("batch_stats", {})
+
+
+def restore_variables(
+    path: str, config=None, image_shape: tuple[int, int] = (480, 640)
+) -> Any:
+    """Load (params, batch_stats) from an orbax checkpoint directory OR a
+    keras .h5 training checkpoint.
+
+    The .h5 path is the reference's inline `evaluate --convert-model`
+    ergonomics (bin/evaluate.py:214-215): a keras training checkpoint is
+    importable directly without a separate `pyrapose convert` round trip.
+    Requires `config` (ModelConfig) to build the parameter template.
+    """
+    if path.endswith((".h5", ".hdf5")):
+        if config is None:
+            raise ValueError("importing a keras .h5 needs a ModelConfig")
+        import jax.numpy as jnp
+
+        from pyrapose_tpu.models import PyraPose
+        from pyrapose_tpu.models.h5_import import import_pyrapose_h5
+
+        model = PyraPose(config=config)
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, image_shape[0], image_shape[1], 3), jnp.float32),
+        )
+        variables = import_pyrapose_h5(path, dict(variables))
+        return variables["params"], variables.get("batch_stats", {})
+    return restore_params(path)

@@ -44,6 +44,9 @@ class TrainState(flax.struct.PyTreeNode):
     # loss so XLA prunes their backward convolutions entirely (the optax
     # mask alone zeroes updates but still pays for the gradients)
     freeze_stem: bool = flax.struct.field(pytree_node=False, default=False)
+    # static: freeze the ENTIRE backbone (reference --freeze-backbone,
+    # bin/train.py:72-74 — on top of the always-frozen first ~40 layers)
+    freeze_backbone: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
@@ -62,15 +65,19 @@ def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
 
 
-def _frozen_mask(params: Any) -> Any:
-    """True for trainable leaves; stem + stage1 of the backbone are frozen
-    (reference freezes the first ~40 keras layers, models/resnet.py:100-103)."""
+def _frozen_mask(params: Any, full_backbone: bool = False) -> Any:
+    """True for trainable leaves. By default stem + stage1 of the backbone
+    are frozen (reference freezes the first ~40 keras layers,
+    models/resnet.py:100-103); with full_backbone the whole backbone subtree
+    is frozen (reference --freeze-backbone flag, bin/train.py:72-74)."""
 
     flat = flax.traverse_util.flatten_dict(params)
     mask = {}
     for path in flat:
         frozen = path[0] == "backbone" and (
-            path[1].startswith("stem") or path[1].startswith("stage1")
+            full_backbone
+            or path[1].startswith("stem")
+            or path[1].startswith("stage1")
         )
         mask[path] = not frozen
     return flax.traverse_util.unflatten_dict(mask)
@@ -80,6 +87,7 @@ def make_optimizer(
     learning_rate: float = 1e-5,
     clipnorm: float = 1e-3,
     freeze_backbone_stem: bool = True,
+    freeze_backbone: bool = False,
 ) -> optax.GradientTransformation:
     """Adam + per-leaf clipnorm with injectable lr (for plateau scheduling).
 
@@ -90,12 +98,13 @@ def make_optimizer(
         clip_by_leaf_norm(clipnorm),
         optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
     ]
-    if freeze_backbone_stem:
+    if freeze_backbone_stem or freeze_backbone:
         parts.append(
             optax.masked(
                 optax.set_to_zero(),
                 lambda params: jax.tree_util.tree_map(
-                    lambda keep: not keep, _frozen_mask(params)
+                    lambda keep: not keep,
+                    _frozen_mask(params, full_backbone=freeze_backbone),
                 ),
             )
         )
@@ -109,13 +118,16 @@ def create_train_state(
     learning_rate: float = 1e-5,
     clipnorm: float = 1e-3,
     freeze_backbone_stem: bool = True,
+    freeze_backbone: bool = False,
 ) -> TrainState:
     model = PyraPose(config=config)
     dummy = jnp.zeros((1, image_shape[0], image_shape[1], 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx = make_optimizer(learning_rate, clipnorm, freeze_backbone_stem)
+    tx = make_optimizer(
+        learning_rate, clipnorm, freeze_backbone_stem, freeze_backbone
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -124,6 +136,7 @@ def create_train_state(
         apply_fn=model.apply,
         tx=tx,
         freeze_stem=freeze_backbone_stem,
+        freeze_backbone=freeze_backbone,
     )
 
 
@@ -159,11 +172,12 @@ def train_step(
     """One SGD step. batch = {images, labels, regression, mask}."""
 
     def loss_fn(params):
-        if state.freeze_stem:
+        if state.freeze_stem or state.freeze_backbone:
             # stop-gradient the frozen subtrees: XLA dead-code-eliminates
             # their backward convolutions (reference freezes the first ~40
-            # layers, models/resnet.py:100-103)
-            mask = _frozen_mask(params)
+            # layers, models/resnet.py:100-103; --freeze-backbone extends
+            # this to the whole backbone, bin/train.py:72-74)
+            mask = _frozen_mask(params, full_backbone=state.freeze_backbone)
             params = jax.tree_util.tree_map(
                 lambda p, keep: p if keep else jax.lax.stop_gradient(p),
                 params, mask,

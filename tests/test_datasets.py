@@ -100,6 +100,42 @@ class TestRegistry:
         # linemod.py:238-241; units must be self-consistent)
         assert gt.trans[0, 2] == pytest.approx(0.9)
 
+    def test_decoded_frame_cache(self, tmp_path):
+        """cache_bytes > 0: second load serves RAM (no file access), arrays
+        identical, augmented sampling still works on read-only frames."""
+        import dataclasses
+
+        obj_ids = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
+        _make_bop_tree(str(tmp_path), obj_ids)
+        ds = create_dataset("linemod", str(tmp_path),
+                            cache_bytes=1 << 30)
+        ref = ds.load_image(0).copy()
+        assert ds._cache_used > 0
+        # delete the underlying file: a cache hit must not touch disk
+        import os
+
+        os.remove(ds._image_path(ds.images[0], "_rgb"))
+        again = ds.load_image(0)
+        np.testing.assert_array_equal(ref, again)
+        assert not again.flags.writeable
+        # augmented sample path works on cached (read-only) frames
+        from pyrapose_tpu.data.augment import AugmentConfig
+
+        ds_aug = create_dataset(
+            "linemod", str(tmp_path), augment=AugmentConfig(),
+            cache_bytes=1 << 30,
+        )
+        img, gt = ds_aug.sample(1)
+        img2, gt2 = ds_aug.sample(1)
+        assert img.shape == (480, 640, 3)
+
+    def test_cache_limit_respected(self, tmp_path):
+        obj_ids = [1, 2, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15]
+        _make_bop_tree(str(tmp_path), obj_ids)
+        ds = create_dataset("linemod", str(tmp_path), cache_bytes=1)
+        ds.load_image(0)
+        assert ds._cache_used == 0  # frame larger than the limit: not cached
+
     def test_letterbox_to_spec_resolution(self, tmp_path):
         """Native 480x640 frames load at ANY spec.image_shape: the loader
         scale-letterboxes image/mask/boxes and scales intrinsics so the

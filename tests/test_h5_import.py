@@ -274,6 +274,36 @@ class TestConvertEvaluateRoundTrip:
         )
 
 
+class TestInlineH5Restore:
+    def test_restore_variables_accepts_h5(self, variables, tmp_path):
+        """restore_variables on a keras .h5 path imports inline — the
+        reference's `evaluate --convert-model` ergonomics (bin/evaluate.py:
+        214-215) without a separate `pyrapose convert` round trip."""
+        from pyrapose_tpu.train.checkpoint import restore_variables
+
+        p = str(tmp_path / "ref.h5")
+        _make_h5(p, variables, full=True)
+        params, batch_stats = restore_variables(
+            p, config=ModelConfig(num_classes=5), image_shape=(64, 64)
+        )
+        direct = import_pyrapose_h5(p, variables)
+        np.testing.assert_array_equal(
+            params["box3d_head"]["out"]["kernel"],
+            direct["params"]["box3d_head"]["out"]["kernel"],
+        )
+        np.testing.assert_array_equal(
+            batch_stats["backbone"]["stem_bn"]["mean"],
+            direct["batch_stats"]["backbone"]["stem_bn"]["mean"],
+        )
+
+    def test_restore_variables_requires_config_for_h5(self, tmp_path):
+        from pyrapose_tpu.train.checkpoint import restore_variables
+
+        (tmp_path / "x.h5").write_bytes(b"")
+        with pytest.raises(ValueError, match="ModelConfig"):
+            restore_variables(str(tmp_path / "x.h5"))
+
+
 class TestPretrained:
     def test_url_and_checksum_table(self):
         from pyrapose_tpu.models.pretrained import imagenet_weights_url

@@ -123,3 +123,22 @@ class TestFps:
         assert len(feats["1"]) == 4
         on_disk = json.loads(out.read_text())
         assert on_disk == {k: [list(map(float, r)) for r in v] for k, v in feats.items()}
+
+    def test_fps_cli_verb(self, tmp_path, capsys):
+        """`pyrapose fps models_dir` is a runnable tool (reference FPS.py:
+        17-99 is a standalone script; round-1 VERDICT missing #6)."""
+        from pyrapose_tpu.cli.main import main
+
+        _write_ascii_ply(tmp_path / "obj_000001.ply")
+        _write_ascii_ply(tmp_path / "obj_000002.ply")
+        out = tmp_path / "features.json"
+        assert main(["fps", str(tmp_path), "--output", str(out),
+                     "--points", "4"]) == 0
+        feats = json.loads(out.read_text())
+        assert sorted(feats) == ["1", "2"]
+        assert len(feats["1"]) == 4
+
+    def test_fps_cli_no_meshes(self, tmp_path):
+        from pyrapose_tpu.cli.main import main
+
+        assert main(["fps", str(tmp_path)]) == 1

@@ -158,3 +158,93 @@ class TestTrainCli:
         rec = lines[0]
         assert np.isfinite(rec["loss"])
         assert "val_recall" in rec and "img_s" in rec
+
+    def test_custom_anchor_ini_roundtrips_through_eval(self, tmp_path):
+        """--config custom.ini + --eval-every: the in-training eval must build
+        the SAME anchor layout as training (round-1 regression: _run_eval
+        dropped the override, so a non-default anchor count crashed/mis-decoded
+        the validation pass)."""
+        import json
+
+        from pyrapose_tpu.cli.main import build_parser
+        from pyrapose_tpu.cli.train import run_train
+
+        ini = tmp_path / "anchors.ini"
+        ini.write_text(
+            "[anchor_parameters]\n"
+            "sizes   = 32 64 128\n"
+            "strides = 8 16 32\n"
+            "ratios  = 0.5 2\n"
+            "scales  = 1 1.3\n"
+        )
+        snap = str(tmp_path / "snap")
+        args = build_parser().parse_args(
+            [
+                "train", "synthetic",
+                "--backbone", "resnet10",
+                "--batch-size", "2",
+                "--epochs", "1",
+                "--steps-per-epoch", "2",
+                "--image-min-side", "64",
+                "--image-max-side", "64",
+                "--snapshot-path", snap,
+                "--eval-every", "1",
+                "--eval-samples", "2",
+                "--workers", "1",
+                "--config", str(ini),
+            ]
+        )
+        assert run_train(args) == 0
+        rec = json.loads(
+            open(str(tmp_path / "snap" / "metrics.jsonl")).readline()
+        )
+        assert np.isfinite(rec["loss"]) and "val_recall" in rec
+
+    def test_preemption_kill_and_resume_mid_epoch(self, tmp_path):
+        """Crash-resume flow (VERDICT r1 item 9): a run stopped by
+        --max-steps mid-epoch and restarted with --auto-resume reproduces
+        the uninterrupted run's remaining per-step losses exactly (same
+        schedule slice, same optimizer state via orbax)."""
+        import json
+
+        from pyrapose_tpu.cli.main import build_parser
+        from pyrapose_tpu.cli.train import run_train
+
+        def _args(snap, extra=()):
+            return build_parser().parse_args(
+                [
+                    "train", "synthetic",
+                    "--backbone", "resnet10",
+                    "--batch-size", "2",
+                    "--epochs", "1",
+                    "--steps-per-epoch", "6",
+                    "--image-min-side", "64",
+                    "--image-max-side", "64",
+                    "--snapshot-path", snap,
+                    "--workers", "1",
+                    *extra,
+                ]
+            )
+
+        def _losses(snap):
+            return [
+                loss
+                for ln in open(snap + "/metrics.jsonl")
+                for loss in json.loads(ln)["losses"]
+            ]
+
+        # uninterrupted run: 6 steps
+        full = str(tmp_path / "full")
+        assert run_train(_args(full)) == 0
+        ref = _losses(full)
+        assert len(ref) == 6
+
+        # preempted run: stop at step 3 (mid-epoch), then auto-resume
+        pre = str(tmp_path / "pre")
+        assert run_train(_args(pre, ["--max-steps", "3"])) == 0
+        assert len(_losses(pre)) == 3
+        assert run_train(_args(pre, ["--auto-resume"])) == 0
+        got = _losses(pre)
+        assert len(got) == 6
+        for a, b in zip(ref, got):
+            assert b == pytest.approx(a, rel=1e-4), (ref, got)

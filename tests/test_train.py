@@ -241,3 +241,37 @@ class TestFreezeStopGradient:
             for k in later
         )
         assert moved
+
+    def test_freeze_backbone_freezes_whole_backbone(self, rng):
+        """--freeze-backbone semantics (reference bin/train.py:72-74): EVERY
+        backbone leaf stays put, heads still train. Regression test for the
+        round-1 flag inversion (`not args.freeze_backbone`)."""
+        batch_np = _fake_batch(rng, batch=2)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        cfg = ModelConfig(num_classes=C, backbone="resnet10",
+                          compute_dtype="float32")
+        state = create_train_state(
+            jax.random.PRNGKey(0), cfg, image_shape=(H, W),
+            freeze_backbone_stem=True, freeze_backbone=True,
+        )
+        assert state.freeze_backbone
+        s2, _ = jax.jit(train_step)(state, batch)
+        bb0 = jax.tree_util.tree_leaves(state.params["backbone"])
+        bb1 = jax.tree_util.tree_leaves(s2.params["backbone"])
+        for a, b in zip(bb0, bb1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        head_before = np.asarray(state.params["cls_head"]["out"]["kernel"])
+        head_after = np.asarray(s2.params["cls_head"]["out"]["kernel"])
+        assert np.abs(head_after - head_before).max() > 0
+
+    def test_cli_flag_wires_full_backbone_freeze(self):
+        """The train CLI passes --freeze-backbone through as a FULL backbone
+        freeze on top of the always-on stem freeze (not inverted)."""
+        import inspect
+
+        from pyrapose_tpu.cli import train as cli_train
+
+        src = inspect.getsource(cli_train.run_train)
+        assert "freeze_backbone=args.freeze_backbone" in src
+        assert "freeze_backbone_stem=True" in src
+        assert "not args.freeze_backbone" not in src
