@@ -67,6 +67,73 @@ def _time(fn, args, iters, warmup, ready):
     return (time.perf_counter() - t0) / iters
 
 
+def _bench_host_loader(n_frames: int = 24) -> dict:
+    """Decode+augment throughput of the BOP loader on noise PNGs (worst-case
+    decode entropy), single-threaded, plus the --cache-images steady state."""
+    import json as _json
+    import tempfile
+
+    from PIL import Image
+
+    from pyrapose_tpu.data.augment import AugmentConfig
+    from pyrapose_tpu.data.datasets import create_dataset
+    from pyrapose_tpu.data.spec import dataset_spec
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as root:
+        ann_dir = os.path.join(root, "annotations")
+        img_dir = os.path.join(root, "images", "train")
+        os.makedirs(ann_dir)
+        os.makedirs(img_dir)
+        info = {
+            "1": dict(diameter=150.0, min_x=-50, min_y=-50, min_z=-50,
+                      size_x=100, size_y=100, size_z=100)
+        }
+        with open(os.path.join(ann_dir, "models_info.json"), "w") as f:
+            _json.dump(info, f)
+        images, annotations = [], []
+        for i in range(n_frames):
+            stem = f"{i:06d}"
+            Image.fromarray(
+                rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+            ).save(os.path.join(img_dir, stem + "_rgb.png"))
+            mask = np.zeros((480, 640), np.uint8)
+            mask[200:280, 280:360] = 1
+            Image.fromarray(mask).save(os.path.join(img_dir, stem + "_mask.png"))
+            images.append(dict(
+                id=i, file_name=stem + ".png", width=640, height=480,
+                fx=572.4114, fy=573.57043, cx=325.2611, cy=242.04899,
+            ))
+            annotations.append(dict(
+                id=i, image_id=i, category_id=1,
+                bbox=[280, 200, 80, 80],
+                pose=[0.0, 0.0, 900.0, 1.0, 0.0, 0.0, 0.0],
+                mask_id=1, feature_visibility=1.0,
+            ))
+        with open(os.path.join(ann_dir, "instances_train.json"), "w") as f:
+            _json.dump(dict(images=images, annotations=annotations), f)
+
+        dataset_spec.cache_clear()
+        out = {}
+        for key, cache in (("loader_img_s_per_core", 0),
+                           ("loader_cached_img_s_per_core", 1 << 32)):
+            ds = create_dataset(
+                "homebrewed", root, spec=None, augment=AugmentConfig(),
+                cache_bytes=cache,
+            )
+            if cache:
+                for i in range(n_frames):  # fill the cache
+                    ds.load_image(i), ds.load_mask(i)
+            for i in range(2):  # warm scipy/cv paths
+                ds.sample(i)
+            t0 = time.perf_counter()
+            for i in range(n_frames):
+                ds.sample(i)
+            out[key] = round(n_frames / (time.perf_counter() - t0), 2)
+        dataset_spec.cache_clear()
+        return out
+
+
 def main() -> None:
     # defaults from the v5e batch sweep: inference throughput still rises at
     # 64 (513 -> 529 -> 542 img/s/chip for 16/32/64); the fused train step
@@ -211,6 +278,17 @@ def main() -> None:
             )
         except Exception as exc:  # keep the headline alive
             extras["train_error"] = str(exc)[:200]
+
+    # --- host loader: decode+augment img/s per core ---------------------------
+    # The real `pyrapose train` host path on BOP-layout data: PNG decode +
+    # photometric/affine augmentation per 480x640 frame. Measured standalone
+    # so the host requirement is explicit: feeding one chip at N img/s needs
+    # ceil(N / loader_img_s_per_core) cores (+ the decoded-frame cache
+    # variant shows the steady-state cost once --cache-images holds the set).
+    try:
+        extras.update(_bench_host_loader())
+    except Exception as exc:
+        extras["loader_error"] = str(exc)[:200]
 
     print(
         json.dumps(

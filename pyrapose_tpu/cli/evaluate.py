@@ -54,6 +54,7 @@ def run_evaluate(args) -> int:
     ransac = RansacConfig(
         score_threshold=args.score_threshold,
         max_instances=max(getattr(args, "max_instances", 1), 1),
+        approx_top_k=not getattr(args, "exact_topk", False),
     )
     # multi-chip: batch-shard inference over the data mesh when the batch
     # divides the device count (serving-style DP over ICI, zero collectives)

@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--no-augment", action="store_true")
     t.add_argument("--freeze-backbone", action="store_true")
     t.add_argument(
+        "--no-freeze-stem", action="store_true",
+        help="train the stem/stage1 too (the reference's always-frozen "
+        "first ~40 layers, models/resnet.py:100-103, assume ImageNet "
+        "weights; training from scratch wants them trainable)",
+    )
+    t.add_argument(
         "--remat", action="store_true",
         help="block-level rematerialization: ~3x less activation memory per "
              "backbone block for ~1 extra block forward in the backward "
@@ -160,6 +166,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="poses recovered per class per image (multi-copy scenes, e.g. "
         "T-LESS; 1 = reference per-class protocol)",
+    )
+    e.add_argument(
+        "--exact-topk",
+        action="store_true",
+        help="exact top-k vote gather instead of approx_max_k "
+        "(recall_target=0.95); the reference thresholds exactly "
+        "(linemod_eval.py:317-334) — use this flag to A/B the recall cost",
     )
 
     i = sub.add_parser("infer", help="run inference on images, write poses JSON")
@@ -278,6 +291,25 @@ def main(argv: list[str] | None = None) -> int:
     _configure_jax()
     args = build_parser().parse_args(argv)
     if args.command == "train":
+        if getattr(args, "coordinator", None):
+            # multi-host: join the cluster BEFORE importing the train stack
+            # (its flax/optax imports initialize the XLA backend, after
+            # which jax.distributed.initialize refuses to run)
+            import jax
+
+            from pyrapose_tpu.parallel import multihost
+
+            multihost.initialize_distributed(
+                args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+                cpu=bool(args.cpu_rehearsal),
+            )
+            print(
+                f"process {jax.process_index()}/{jax.process_count()}: "
+                f"{jax.local_device_count()} local / {jax.device_count()} "
+                "global devices"
+            )
         from pyrapose_tpu.cli.train import run_train
 
         return run_train(args)

@@ -136,22 +136,10 @@ def _run_eval(args, spec, state, val_dataset, model_points, config):
 
 
 def run_train(args) -> int:
-    if getattr(args, "coordinator", None):
-        # multi-host: join the cluster BEFORE any device use; afterwards
-        # jax.devices() is global and the jitted step spans all processes
-        from pyrapose_tpu.parallel import multihost
-
-        multihost.initialize_distributed(
-            args.coordinator,
-            num_processes=getattr(args, "num_processes", None),
-            process_id=getattr(args, "process_id", None),
-            cpu=bool(getattr(args, "cpu_rehearsal", False)),
-        )
-        print(
-            f"process {jax.process_index()}/{jax.process_count()}: "
-            f"{jax.local_device_count()} local / {jax.device_count()} "
-            "global devices"
-        )
+    # NOTE: --coordinator (multi-host) is handled in cli/main.py BEFORE this
+    # module is imported: jax.distributed.initialize must run before the
+    # train stack's imports initialize the XLA backend. Programmatic users
+    # call parallel.multihost.initialize_distributed first, same reason.
     image_shape = (args.image_min_side, args.image_max_side)
     spec = dataset_spec(args.dataset if args.dataset != "synthetic" else "linemod",
                         args.data_path)
@@ -228,9 +216,10 @@ def run_train(args) -> int:
         config,
         image_shape=image_shape,
         learning_rate=args.lr,
-        # stem/stage1 always frozen (reference models/resnet.py:100-103);
-        # --freeze-backbone freezes the whole backbone (bin/train.py:72-74)
-        freeze_backbone_stem=True,
+        # stem/stage1 frozen by default (reference models/resnet.py:100-103);
+        # --freeze-backbone freezes the whole backbone (bin/train.py:72-74);
+        # --no-freeze-stem unfreezes everything (from-scratch training)
+        freeze_backbone_stem=not getattr(args, "no_freeze_stem", False),
         freeze_backbone=args.freeze_backbone,
     )
     if getattr(args, "imagenet_weights", False) or getattr(

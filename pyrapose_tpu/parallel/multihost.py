@@ -128,3 +128,21 @@ def device_prefetch_global(
 def is_primary() -> bool:
     """True on the process that owns checkpoint/metric writes."""
     return jax.process_index() == 0
+
+
+def barrier(name: str, timeout_s: float = 1800.0) -> None:
+    """Coordination-service barrier (NOT a device collective).
+
+    Aligns processes across phases whose duration skews arbitrarily —
+    above all per-process XLA compilation. Device collectives (gloo on the
+    CPU rehearsal) have short rendezvous timeouts; if process A finishes
+    compiling minutes before process B and enters the first all-reduce, the
+    collective times out and the cluster dies. Compiling ahead-of-time and
+    meeting at this barrier first absorbs any skew. No-op outside a
+    distributed context."""
+    from jax._src import distributed  # coordination client (no public API yet)
+
+    client = distributed.global_state.client
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
