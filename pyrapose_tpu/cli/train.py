@@ -51,12 +51,19 @@ def _build_dataset(args, spec, augment, set_name="train"):
         return SyntheticPoseDataset(spec, num_images=max(n, 64), seed=seed)
     from pyrapose_tpu.data.datasets import create_dataset
 
+    # --device-augment: the photometric soup moves into the jitted train
+    # step (data/device_augment.py); the host keeps only the affine warp
+    host_augment = None
+    if augment and set_name == "train":
+        host_augment = AugmentConfig(
+            photometric=not getattr(args, "device_augment", False)
+        )
     return create_dataset(
         args.dataset,
         args.data_path,
         set_name=set_name,
         spec=spec,
-        augment=AugmentConfig() if (augment and set_name == "train") else None,
+        augment=host_augment,
         seed=args.seed,
         cache_bytes=int(getattr(args, "cache_images", 0.0) * 2**30),
     )
@@ -250,7 +257,14 @@ def run_train(args) -> int:
         state = restore_checkpoint(state, snapshot)
         print(f"resumed from {snapshot} at step {int(state.step)}")
 
-    step_fn = make_fused_train_step(mesh, spec.corners3d, pipe, donate=True)
+    device_aug = (
+        getattr(args, "device_augment", False) and not args.no_augment
+        and args.dataset != "synthetic"
+    )
+    step_fn = make_fused_train_step(
+        mesh, spec.corners3d, pipe, donate=True,
+        augment_seed=args.seed if device_aug else None,
+    )
     dataset = _build_dataset(args, spec, augment=not args.no_augment)
     plateau = ReduceLROnPlateau()
     logger = MetricsLogger(
@@ -322,6 +336,7 @@ def run_train(args) -> int:
             )
             prefetched = device_prefetch(loader, mesh, depth=prefetch_depth)
         losses = []
+        part_sums: dict = {}
         t0 = time.time()
         for it, (images_u8, gt) in enumerate(prefetched):
             if profile_dir and epoch == start_epoch and it == 1 and not profiling:
@@ -330,6 +345,11 @@ def run_train(args) -> int:
                 profiling = True
             state, parts = step_fn(state, images_u8, gt)
             losses.append(float(parts["loss"]))
+            part_sums = {
+                k: part_sums.get(k, 0.0) + float(v)
+                for k, v in parts.items()
+                if k.startswith("loss_")
+            }
             global_step += 1
             if profiling and it >= profile_steps:
                 jax.block_until_ready(state.params)
@@ -355,6 +375,7 @@ def run_train(args) -> int:
             epoch=epoch + 1, step=int(state.step), loss=mean_loss,
             lr=lr, img_s=round(imps, 2),
             losses=[round(v, 6) for v in losses],
+            **{k: round(v / max(len(losses), 1), 6) for k, v in part_sums.items()},
         )
         if (not done and eval_every > 0 and (epoch + 1) % eval_every == 0
                 and primary):

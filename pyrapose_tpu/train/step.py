@@ -218,7 +218,13 @@ def make_sharded_train_step(mesh: Mesh, donate: bool = True):
     )
 
 
-def make_fused_train_step(mesh: Mesh, corners3d, pipe_config, donate: bool = True):
+def make_fused_train_step(
+    mesh: Mesh,
+    corners3d,
+    pipe_config,
+    donate: bool = True,
+    augment_seed: int | None = None,
+):
     """jit a train step that takes RAW loader output: (state, images_u8, gt).
 
     Image normalization and the full anchor-target generation run INSIDE the
@@ -227,6 +233,10 @@ def make_fused_train_step(mesh: Mesh, corners3d, pipe_config, donate: bool = Tru
     fixed-shape padded GroundTruth. Eliminates the target-fn round trip
     (device -> numpy -> device) the naive loop pays, and shrinks H2D traffic
     to images_u8 + a few KB of GT.
+
+    augment_seed (non-None): also apply the photometric augmentation soup on
+    device (data/device_augment.py), keyed by (seed, global step, sample) —
+    the host loader then skips its ~25 ms/frame photometric stage entirely.
     """
     import jax.numpy as jnp
 
@@ -235,6 +245,11 @@ def make_fused_train_step(mesh: Mesh, corners3d, pipe_config, donate: bool = Tru
         targets_from_poses,
     )
     from pyrapose_tpu.parallel.mesh import image_sharding
+
+    if augment_seed is not None:
+        # import OUTSIDE the trace (a first import during tracing would
+        # create any module-level array constants as leaked tracers)
+        from pyrapose_tpu.data import device_augment  # noqa: F401
 
     corners = jnp.asarray(corners3d)
     replicated = NamedSharding(mesh, P())
@@ -245,11 +260,19 @@ def make_fused_train_step(mesh: Mesh, corners3d, pipe_config, donate: bool = Tru
     images_sharded = image_sharding(mesh)
 
     def fused_step(state: TrainState, images_u8, gt):
+        images = images_u8.astype(jnp.float32)
+        if augment_seed is not None:
+            from pyrapose_tpu.data.device_augment import photometric_batch
+
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(augment_seed), state.step
+            )
+            images = photometric_batch(key, images)
         targets = jax.vmap(
             lambda g: targets_from_poses(g, corners, pipe_config)
         )(gt)
         batch = {
-            "images": preprocess_images(images_u8),
+            "images": preprocess_images(images),
             "labels": targets.labels,
             "regression": targets.regression,
             "mask": targets.mask,
