@@ -142,6 +142,7 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
+    train_remat = os.environ.get("BENCH_TRAIN_REMAT", "0") != "0"
     with_train = os.environ.get("BENCH_TRAIN", "1") != "0"
 
     spec = LINEMOD_SPEC
@@ -225,8 +226,12 @@ def main() -> None:
 
             use = math.gcd(train_batch, n_chips)
             mesh = create_mesh(jax.devices()[:use])
+            tconfig = (
+                dataclasses.replace(config, remat=True) if train_remat
+                else config
+            )
             state = create_train_state(
-                jax.random.PRNGKey(0), config, image_shape=(480, 640)
+                jax.random.PRNGKey(0), tconfig, image_shape=(480, 640)
             )
             # donated state carried through the loop — the real training
             # pattern (buffer reuse, no defensive copies)

@@ -33,9 +33,20 @@ def save_checkpoint(state: TrainState, directory: str, step: int | None = None) 
 
 
 def latest_checkpoint(directory: str) -> str | None:
+    """Newest COMPLETE checkpoint in `directory`, or None.
+
+    Skips orbax's in-progress `*.orbax-checkpoint-tmp*` directories: a
+    process killed mid-save (the exact preemption case --auto-resume exists
+    for) leaves one behind, and resuming from it would fail or hang."""
     if not os.path.isdir(directory):
         return None
-    steps = [d for d in os.listdir(directory) if d.startswith("step_")]
+    steps = [
+        d
+        for d in os.listdir(directory)
+        if d.startswith("step_")
+        and "tmp" not in d
+        and os.path.isdir(os.path.join(directory, d))
+    ]
     if not steps:
         return None
     return os.path.join(directory, sorted(steps)[-1])

@@ -200,6 +200,18 @@ class TestTrainCli:
         )
         assert np.isfinite(rec["loss"]) and "val_recall" in rec
 
+    def test_latest_checkpoint_skips_partial_saves(self, tmp_path):
+        """A kill mid-save leaves an `*.orbax-checkpoint-tmp` directory;
+        --auto-resume must pick the newest COMPLETE checkpoint instead
+        (resuming from the partial one hangs/fails)."""
+        from pyrapose_tpu.train.checkpoint import latest_checkpoint
+
+        assert latest_checkpoint(str(tmp_path / "nope")) is None
+        (tmp_path / "step_00000100").mkdir()
+        (tmp_path / "step_00000200.orbax-checkpoint-tmp").mkdir()
+        got = latest_checkpoint(str(tmp_path))
+        assert got is not None and got.endswith("step_00000100")
+
     def test_preemption_kill_and_resume_mid_epoch(self, tmp_path):
         """Crash-resume flow (VERDICT r1 item 9): a run stopped by
         --max-steps mid-epoch and restarted with --auto-resume reproduces
