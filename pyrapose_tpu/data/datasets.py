@@ -134,7 +134,9 @@ class CocoDetectionDataset:
     def load_image(self, index: int) -> np.ndarray:
         info = self.images[index]
         path = os.path.join(self.data_dir, "images", self.set_name, info["file_name"])
-        return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+        from pyrapose_tpu.data.bop import _decode_rgb
+
+        return _decode_rgb(path)
 
     def sample(self, index: int) -> tuple[np.ndarray, dict]:
         """(image, {boxes (K,4), labels (K,), valid (K,)}) fixed shapes."""

@@ -19,6 +19,15 @@ checkpoint-parity evaluation (SURVEY.md section 7.2 step 3):
 Keras Conv2D kernels are HWIO like flax — no transposes; BatchNorm maps
 (gamma, beta) -> params (scale, bias) and (moving_mean, moving_variance) ->
 batch_stats.
+
+Residual risk (documented, not fixable in this environment): the mapping is
+validated against synthetically written h5 fixtures that follow keras'
+documented file layout (tests/test_h5_import.py) — no real fizyr/PyraPose
+checkpoint is published (reference README.md:25), so a checkpoint written by
+an older keras with a different auto-naming scheme could still mis-map the
+auto-named PFPN convs. The shape-filtered topological matching plus the
+named P3/P4/P5 anchors make that unlikely; verify imported checkpoints with
+`pyrapose evaluate ... model.h5` on a few frames before trusting them.
 """
 
 from __future__ import annotations
