@@ -78,6 +78,20 @@ def build_parser() -> argparse.ArgumentParser:
         "~25 ms/frame of host CPU per 480x640 image)",
     )
     t.add_argument(
+        "--keep-checkpoints", type=int, default=0, metavar="N",
+        help="keep only the newest N complete checkpoints in "
+        "--snapshot-path (0 = keep all); per-epoch resnet50+Adam "
+        "checkpoints are ~0.5 GB each",
+    )
+    t.add_argument(
+        "--device-cache", action="store_true",
+        help="stage the ENTIRE training set in device HBM once and gather "
+        "minibatches on device (small BOP-scale sets only, ~1 GB per 1k "
+        "480x640 frames). Removes the host/PCIe from the steady-state step; "
+        "implies on-device photometric augmentation and disables the "
+        "host-side affine warp",
+    )
+    t.add_argument(
         "--cache-images", type=float, default=0.0, metavar="GB",
         help="decoded-frame RAM cache: after the first epoch, PNG decode "
         "cost disappears from the host loader (0 = off; the reference "

@@ -39,7 +39,11 @@ from pyrapose_tpu.train import (
     make_fused_train_step,
     set_learning_rate,
 )
-from pyrapose_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from pyrapose_tpu.train.checkpoint import (
+    prune_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
 
 
 def _build_dataset(args, spec, augment, set_name="train"):
@@ -257,15 +261,30 @@ def run_train(args) -> int:
         state = restore_checkpoint(state, snapshot)
         print(f"resumed from {snapshot} at step {int(state.step)}")
 
+    use_cache = getattr(args, "device_cache", False)
+    if use_cache and n_proc > 1:
+        raise ValueError(
+            "--device-cache with multi-host is not supported yet (each "
+            "process would need its schedule shard staged locally)"
+        )
+    # cached mode: the host never touches pixels after staging, so the
+    # photometric soup must run on device; the (host-side) affine warp is
+    # unavailable and is skipped with a note
     device_aug = (
-        getattr(args, "device_augment", False) and not args.no_augment
+        (getattr(args, "device_augment", False) or use_cache)
+        and not args.no_augment
         and args.dataset != "synthetic"
     )
     step_fn = make_fused_train_step(
         mesh, spec.corners3d, pipe, donate=True,
         augment_seed=args.seed if device_aug else None,
     )
-    dataset = _build_dataset(args, spec, augment=not args.no_augment)
+    dataset = _build_dataset(
+        args, spec, augment=not args.no_augment and not use_cache
+    )
+    if use_cache and not args.no_augment:
+        print("--device-cache: photometric augmentation on device; "
+              "geometric (affine) augmentation skipped")
     plateau = ReduceLROnPlateau()
     logger = MetricsLogger(
         os.path.join(args.snapshot_path, "metrics.jsonl")
@@ -294,11 +313,19 @@ def run_train(args) -> int:
     workers = getattr(args, "workers", 2)
     prefetch_depth = getattr(args, "prefetch", 2)
 
+    cache = None
+    if use_cache:
+        from pyrapose_tpu.data.device_cache import DeviceCache
+
+        print("staging dataset to device memory (--device-cache)...")
+        cache = DeviceCache.build(dataset, mesh=mesh, num_workers=workers)
+
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // args.batch_size, 1)
     profiling = False
 
     max_steps = getattr(args, "max_steps", 0) or 0
     save_every = getattr(args, "save_every", 0) or 0
+    keep_checkpoints = getattr(args, "keep_checkpoints", 0) or 0
     primary = n_proc == 1 or jax.process_index() == 0
     # resume mid-training: the (seed, epoch)-keyed schedule lets us jump to
     # the exact (epoch, step-within-epoch) the previous incarnation reached
@@ -316,7 +343,10 @@ def run_train(args) -> int:
             print(f"resuming epoch {epoch + 1} at step {skip}/{steps_per_epoch}")
         if not schedule:
             continue
-        if n_proc > 1:
+        if cache is not None:
+            # minibatches gathered in HBM; host sends only index vectors
+            prefetched = cache.batches(schedule)
+        elif n_proc > 1:
             # every process derives the identical global schedule from the
             # seed, then loads only its row slice of each batch
             from pyrapose_tpu.parallel import multihost
@@ -358,6 +388,7 @@ def run_train(args) -> int:
                 print(f"profile written to {profile_dir}")
             if save_every and global_step % save_every == 0 and primary:
                 path = save_checkpoint(state, args.snapshot_path)
+                prune_checkpoints(args.snapshot_path, keep_checkpoints)
                 print(f"step {global_step}: saved {path}")
             if max_steps and global_step >= max_steps:
                 print(f"reached --max-steps {max_steps}; stopping")
@@ -396,6 +427,7 @@ def run_train(args) -> int:
             state = set_learning_rate(state, new_lr)
         if primary:
             path = save_checkpoint(state, args.snapshot_path)
+            prune_checkpoints(args.snapshot_path, keep_checkpoints)
             print(f"saved {path}")
         if done:
             break

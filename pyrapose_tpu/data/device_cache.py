@@ -1,0 +1,128 @@
+"""On-device (HBM-resident) dataset cache for small training sets.
+
+The reference streams every batch from forked CPU workers (reference
+generator.py:373-390) — the right call for CUDA hosts with dozens of cores.
+On a TPU VM the economics flip: BOP-style training sets are small (LineMOD:
+a few thousand 480x640 frames ~= 2-3 GB as uint8) while HBM is 16 GB+ and
+host->device bandwidth, not compute, is the throughput ceiling. Staging the
+whole set in HBM once and gathering minibatches on device removes the host
+from the steady-state step entirely:
+
+    host per step:   16 int32 indices           (vs ~15 MB of pixels)
+    device per step: one uint8 gather + the fused step (targets + photometric
+                     augmentation already run on device, train/step.py)
+
+Geometric (affine) augmentation is host-side and therefore unavailable in
+cached mode; photometric augmentation stays (it is applied on device inside
+the fused step, seeded per global step). `pyrapose train --device-cache`
+wires this up.
+
+The cache is replicated over the mesh (every device holds a copy) so the
+per-step gather stays local — no collectives. Sharding the cache over
+devices would halve memory but turn every gather into an all-to-all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyrapose_tpu.data.pipeline import GroundTruth
+from pyrapose_tpu.data.prefetch import HostPrefetcher
+
+
+class DeviceCache:
+    """All samples of a dataset staged to device memory.
+
+    Args:
+        images: (D, H, W, 3) uint8 device array.
+        gt: GroundTruth of (D, ...) device arrays.
+    """
+
+    def __init__(self, images: jnp.ndarray, gt: GroundTruth):
+        self.images = images
+        self.gt = gt
+
+    def __len__(self) -> int:
+        return int(self.images.shape[0])
+
+    @property
+    def nbytes(self) -> int:
+        total = self.images.size  # uint8
+        for leaf in self.gt:
+            total += leaf.size * leaf.dtype.itemsize
+        return int(total)
+
+    @classmethod
+    def build(
+        cls,
+        dataset,
+        mesh: Mesh | None = None,
+        num_workers: int = 2,
+        load_batch: int = 32,
+        verbose: bool = True,
+    ) -> "DeviceCache":
+        """Decode + letterbox every sample once (threaded), stage to device.
+
+        `dataset` must be un-augmented: the cache must hold the deterministic
+        letterboxed frames, not one frozen random augmentation.
+        """
+        if getattr(dataset, "augment", None) is not None:
+            raise ValueError(
+                "--device-cache requires an un-augmented dataset (geometric "
+                "augmentation is host-side; use on-device photometric "
+                "augmentation instead)"
+            )
+        n = len(dataset)
+        order = np.arange(n)
+        schedule = [
+            list(order[i : min(i + load_batch, n)])
+            for i in range(0, n, load_batch)
+        ]
+        images_parts: list[np.ndarray] = []
+        gt_parts: list[GroundTruth] = []
+        loader = HostPrefetcher(
+            dataset, load_batch, schedule=schedule, num_workers=num_workers
+        )
+        done = 0
+        for images_u8, gt in loader:
+            images_parts.append(np.asarray(images_u8))
+            gt_parts.append(gt)
+            done += images_u8.shape[0]
+            if verbose and (done % (load_batch * 16) == 0 or done == n):
+                print(f"  device-cache: staged {done}/{n} frames", flush=True)
+        images = np.concatenate(images_parts, axis=0)
+        gt = GroundTruth(
+            *(
+                np.concatenate([np.asarray(p[i]) for p in gt_parts], axis=0)
+                for i in range(len(GroundTruth._fields))
+            )
+        )
+        sharding = None
+        if mesh is not None and np.prod(mesh.devices.shape) > 1:
+            sharding = NamedSharding(mesh, P())  # replicate over the mesh
+        put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
+        cache = cls(put(images), jax.tree_util.tree_map(put, gt))
+        if verbose:
+            print(
+                f"  device-cache: {n} frames, "
+                f"{cache.nbytes / 1e9:.2f} GB on device", flush=True
+            )
+        return cache
+
+    def take(self, indices: np.ndarray) -> tuple[jnp.ndarray, GroundTruth]:
+        """Gather a minibatch on device. Host traffic: the index vector."""
+        idx = jnp.asarray(indices, jnp.int32)
+        images = jnp.take(self.images, idx, axis=0)
+        gt = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), self.gt
+        )
+        return images, gt
+
+    def batches(self, schedule):
+        """Iterate (images, gt) minibatches for a list-of-index-lists."""
+        for idx in schedule:
+            yield self.take(np.asarray(idx, np.int32))

@@ -9,6 +9,7 @@ loses both (SURVEY.md section 5, checkpoint/resume row).
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any
 
 import jax
@@ -50,6 +51,31 @@ def latest_checkpoint(directory: str) -> str | None:
     if not steps:
         return None
     return os.path.join(directory, sorted(steps)[-1])
+
+
+def prune_checkpoints(directory: str, keep: int) -> list[str]:
+    """Delete all but the newest `keep` complete checkpoints. Returns the
+    removed paths. keep <= 0 keeps everything.
+
+    Long runs save per-epoch (~0.5 GB each for resnet50 + Adam state);
+    without rotation a multi-hundred-epoch run fills the disk. In-progress
+    orbax tmp directories are never touched (they belong to a concurrent
+    save or a crashed one --auto-resume will skip anyway)."""
+    if keep <= 0 or not os.path.isdir(directory):
+        return []
+    steps = sorted(
+        d
+        for d in os.listdir(directory)
+        if d.startswith("step_")
+        and "tmp" not in d
+        and os.path.isdir(os.path.join(directory, d))
+    )
+    removed = []
+    for d in steps[:-keep] if keep < len(steps) else []:
+        path = os.path.join(directory, d)
+        shutil.rmtree(path, ignore_errors=True)
+        removed.append(path)
+    return removed
 
 
 def restore_checkpoint(state: TrainState, path: str) -> TrainState:

@@ -1,0 +1,89 @@
+"""HBM-resident dataset cache (`--device-cache`).
+
+The cache replaces the host loader for small BOP-scale sets: every frame is
+staged to device once and minibatches are gathered on device (the host sends
+only index vectors). Contract: training through the cache is bit-identical
+to training through the HostPrefetcher on the same schedule — the cache is a
+transport change, not a semantics change.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrapose_tpu.data import LINEMOD_SPEC, PipelineConfig, SyntheticPoseDataset
+from pyrapose_tpu.data.device_cache import DeviceCache
+from pyrapose_tpu.data.prefetch import HostPrefetcher
+from pyrapose_tpu.models import ModelConfig
+from pyrapose_tpu.parallel import create_mesh
+from pyrapose_tpu.train import create_train_state
+from pyrapose_tpu.train.step import make_fused_train_step
+
+H = W = 64
+SPEC = dataclasses.replace(LINEMOD_SPEC, image_shape=(H, W))
+
+
+def _dataset(n=12):
+    return SyntheticPoseDataset(SPEC, num_images=n, max_instances=4, seed=0)
+
+
+def _losses(mesh, step_fn, batches, state):
+    out = []
+    for images, gt in batches:
+        state, parts = step_fn(state, images, gt)
+        out.append(float(parts["loss"]))
+    return out
+
+
+class TestDeviceCache:
+    def test_matches_host_loader_exactly(self):
+        ds = _dataset()
+        schedule = [[3, 7, 1, 9], [0, 4, 2, 8], [5, 11, 6, 10]]
+        mesh = create_mesh(jax.devices()[:1])
+        pipe = PipelineConfig(image_shape=(H, W), num_classes=SPEC.num_classes)
+        config = ModelConfig(num_classes=SPEC.num_classes,
+                             compute_dtype="float32")
+
+        def fresh_state():
+            return create_train_state(
+                jax.random.PRNGKey(0), config, image_shape=(H, W)
+            )
+
+        step_fn = make_fused_train_step(
+            mesh, SPEC.corners3d, pipe, donate=False
+        )
+        host = _losses(
+            mesh, step_fn,
+            HostPrefetcher(ds, 4, schedule=schedule, num_workers=2),
+            fresh_state(),
+        )
+        cache = DeviceCache.build(ds, mesh=mesh, num_workers=2, verbose=False)
+        cached = _losses(mesh, step_fn, cache.batches(schedule), fresh_state())
+        np.testing.assert_array_equal(np.asarray(host), np.asarray(cached))
+
+    def test_take_shapes_and_len(self):
+        ds = _dataset(n=6)
+        cache = DeviceCache.build(ds, verbose=False)
+        assert len(cache) == 6
+        images, gt = cache.take(np.array([5, 0, 3]))
+        assert images.shape == (3, H, W, 3) and images.dtype == jnp.uint8
+        ref_images, ref_gt = ds.batch([5, 0, 3])
+        np.testing.assert_array_equal(np.asarray(images), ref_images)
+        for got, want in zip(gt, ref_gt):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_rejects_augmented_dataset(self):
+        import pytest
+
+        from pyrapose_tpu.data.augment import AugmentConfig
+
+        class FakeAug:
+            augment = AugmentConfig()
+
+            def __len__(self):
+                return 1
+
+        with pytest.raises(ValueError, match="un-augmented"):
+            DeviceCache.build(FakeAug())

@@ -7,6 +7,7 @@ fused on-device target generation reproducing the unfused step exactly.
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -211,6 +212,25 @@ class TestTrainCli:
         (tmp_path / "step_00000200.orbax-checkpoint-tmp").mkdir()
         got = latest_checkpoint(str(tmp_path))
         assert got is not None and got.endswith("step_00000100")
+
+    def test_prune_checkpoints_keeps_newest(self, tmp_path):
+        """--keep-checkpoints rotation: oldest complete saves go, in-progress
+        orbax tmp dirs are never touched, keep<=0 is a no-op."""
+        from pyrapose_tpu.train.checkpoint import prune_checkpoints
+
+        for s in (100, 200, 300):
+            (tmp_path / f"step_{s:08d}").mkdir()
+        (tmp_path / "step_00000400.orbax-checkpoint-tmp").mkdir()
+        assert prune_checkpoints(str(tmp_path), 0) == []
+        removed = prune_checkpoints(str(tmp_path), 2)
+        assert [os.path.basename(p) for p in removed] == ["step_00000100"]
+        left = sorted(d for d in os.listdir(tmp_path))
+        assert left == [
+            "step_00000200",
+            "step_00000300",
+            "step_00000400.orbax-checkpoint-tmp",
+        ]
+        assert prune_checkpoints(str(tmp_path / "nope"), 2) == []
 
     def test_preemption_kill_and_resume_mid_epoch(self, tmp_path):
         """Crash-resume flow (VERDICT r1 item 9): a run stopped by
