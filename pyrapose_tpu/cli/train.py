@@ -275,10 +275,20 @@ def run_train(args) -> int:
         and not args.no_augment
         and args.dataset != "synthetic"
     )
-    step_fn = make_fused_train_step(
-        mesh, spec.corners3d, pipe, donate=True,
-        augment_seed=args.seed if device_aug else None,
-    )
+    if use_cache:
+        from pyrapose_tpu.train.step import make_cached_train_step
+
+        # single dispatch per step: the minibatch gather happens inside the
+        # jitted program, against the HBM-resident cache
+        step_fn = make_cached_train_step(
+            mesh, spec.corners3d, pipe, donate=True,
+            augment_seed=args.seed if device_aug else None,
+        )
+    else:
+        step_fn = make_fused_train_step(
+            mesh, spec.corners3d, pipe, donate=True,
+            augment_seed=args.seed if device_aug else None,
+        )
     dataset = _build_dataset(
         args, spec, augment=not args.no_augment and not use_cache
     )
@@ -345,7 +355,7 @@ def run_train(args) -> int:
             continue
         if cache is not None:
             # minibatches gathered in HBM; host sends only index vectors
-            prefetched = cache.batches(schedule)
+            prefetched = (np.asarray(idx, np.int32) for idx in schedule)
         elif n_proc > 1:
             # every process derives the identical global schedule from the
             # seed, then loads only its row slice of each batch
@@ -365,21 +375,22 @@ def run_train(args) -> int:
                 num_workers=workers,
             )
             prefetched = device_prefetch(loader, mesh, depth=prefetch_depth)
-        losses = []
-        part_sums: dict = {}
+        parts_list: list = []
         t0 = time.time()
-        for it, (images_u8, gt) in enumerate(prefetched):
+        for it, item in enumerate(prefetched):
             if profile_dir and epoch == start_epoch and it == 1 and not profiling:
                 # skip step 0 (compile); trace a small steady-state window
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            state, parts = step_fn(state, images_u8, gt)
-            losses.append(float(parts["loss"]))
-            part_sums = {
-                k: part_sums.get(k, 0.0) + float(v)
-                for k, v in parts.items()
-                if k.startswith("loss_")
-            }
+            if cache is not None:
+                state, parts = step_fn(state, cache.images, cache.gt, item)
+            else:
+                images_u8, gt = item
+                state, parts = step_fn(state, images_u8, gt)
+            # keep losses on device: a float() here would sync every step,
+            # stalling the dispatch pipeline (one tunnel RTT per step on
+            # remote-attached TPUs); fetch the whole epoch at once below
+            parts_list.append(parts)
             global_step += 1
             if profiling and it >= profile_steps:
                 jax.block_until_ready(state.params)
@@ -394,6 +405,13 @@ def run_train(args) -> int:
                 print(f"reached --max-steps {max_steps}; stopping")
                 done = True
                 break
+        host_parts = jax.device_get(parts_list)
+        losses = [float(p["loss"]) for p in host_parts]
+        part_sums: dict = {}
+        for p in host_parts:
+            for k, v in p.items():
+                if k.startswith("loss_"):
+                    part_sums[k] = part_sums.get(k, 0.0) + float(v)
         dt = time.time() - t0
         mean_loss = float(np.mean(losses))
         imps = len(losses) * args.batch_size / dt

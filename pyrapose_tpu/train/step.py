@@ -218,33 +218,17 @@ def make_sharded_train_step(mesh: Mesh, donate: bool = True):
     )
 
 
-def make_fused_train_step(
-    mesh: Mesh,
-    corners3d,
-    pipe_config,
-    donate: bool = True,
-    augment_seed: int | None = None,
-):
-    """jit a train step that takes RAW loader output: (state, images_u8, gt).
-
-    Image normalization and the full anchor-target generation run INSIDE the
-    step on device (the reference computes targets per batch on host fork
-    workers, generator.py:344-358); the host ships only uint8 images and the
-    fixed-shape padded GroundTruth. Eliminates the target-fn round trip
-    (device -> numpy -> device) the naive loop pays, and shrinks H2D traffic
-    to images_u8 + a few KB of GT.
-
-    augment_seed (non-None): also apply the photometric augmentation soup on
-    device (data/device_augment.py), keyed by (seed, global step, sample) —
-    the host loader then skips its ~25 ms/frame photometric stage entirely.
-    """
+def _fused_step_body(corners3d, pipe_config, augment_seed: int | None):
+    """(state, images_u8, gt) -> (state, parts): normalization, optional
+    on-device photometric augmentation, anchor-target generation, and the
+    optimizer update — one traceable body shared by the loader-fed and
+    cache-fed jit wrappers."""
     import jax.numpy as jnp
 
     from pyrapose_tpu.data.pipeline import (
         preprocess_images,
         targets_from_poses,
     )
-    from pyrapose_tpu.parallel.mesh import image_sharding
 
     if augment_seed is not None:
         # import OUTSIDE the trace (a first import during tracing would
@@ -252,12 +236,6 @@ def make_fused_train_step(
         from pyrapose_tpu.data import device_augment  # noqa: F401
 
     corners = jnp.asarray(corners3d)
-    replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P("data"))
-    # On a 2-D (data x spatial) mesh the image rows are additionally split
-    # over 'spatial': GSPMD partitions every conv spatially and inserts the
-    # halo exchanges (the CNN analogue of sequence parallelism, SURVEY §2.3).
-    images_sharded = image_sharding(mesh)
 
     def fused_step(state: TrainState, images_u8, gt):
         images = images_u8.astype(jnp.float32)
@@ -279,9 +257,78 @@ def make_fused_train_step(
         }
         return train_step(state, batch)
 
+    return fused_step
+
+
+def make_fused_train_step(
+    mesh: Mesh,
+    corners3d,
+    pipe_config,
+    donate: bool = True,
+    augment_seed: int | None = None,
+):
+    """jit a train step that takes RAW loader output: (state, images_u8, gt).
+
+    Image normalization and the full anchor-target generation run INSIDE the
+    step on device (the reference computes targets per batch on host fork
+    workers, generator.py:344-358); the host ships only uint8 images and the
+    fixed-shape padded GroundTruth. Eliminates the target-fn round trip
+    (device -> numpy -> device) the naive loop pays, and shrinks H2D traffic
+    to images_u8 + a few KB of GT.
+
+    augment_seed (non-None): also apply the photometric augmentation soup on
+    device (data/device_augment.py), keyed by (seed, global step, sample) —
+    the host loader then skips its ~25 ms/frame photometric stage entirely.
+    """
+    from pyrapose_tpu.parallel.mesh import image_sharding
+
+    fused_step = _fused_step_body(corners3d, pipe_config, augment_seed)
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    # On a 2-D (data x spatial) mesh the image rows are additionally split
+    # over 'spatial': GSPMD partitions every conv spatially and inserts the
+    # halo exchanges (the CNN analogue of sequence parallelism, SURVEY §2.3).
+    images_sharded = image_sharding(mesh)
+
     return jax.jit(
         fused_step,
         in_shardings=(replicated, images_sharded, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_cached_train_step(
+    mesh: Mesh,
+    corners3d,
+    pipe_config,
+    donate: bool = True,
+    augment_seed: int | None = None,
+):
+    """jit a train step that gathers its minibatch from an HBM-resident
+    dataset cache INSIDE the program: fn(state, images_cache, gt_cache, idx).
+
+    One host dispatch per step (vs. ~8 for a tree of out-of-jit gathers plus
+    the step itself) — on remote-attached TPUs each dispatch pays tunnel RTT,
+    which dominates once the host loader is out of the picture. The caches
+    ride along as non-donated replicated args: XLA aliases the same device
+    buffers every call, so there is no per-step copy of the cache.
+    """
+    import jax.numpy as jnp
+
+    fused = _fused_step_body(corners3d, pipe_config, augment_seed)
+    replicated = NamedSharding(mesh, P())
+
+    def cached_step(state: TrainState, images_cache, gt_cache, idx):
+        images_u8 = jnp.take(images_cache, idx, axis=0)
+        gt = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), gt_cache
+        )
+        return fused(state, images_u8, gt)
+
+    return jax.jit(
+        cached_step,
+        in_shardings=(replicated, replicated, replicated, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,) if donate else (),
     )

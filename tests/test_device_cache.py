@@ -19,7 +19,10 @@ from pyrapose_tpu.data.prefetch import HostPrefetcher
 from pyrapose_tpu.models import ModelConfig
 from pyrapose_tpu.parallel import create_mesh
 from pyrapose_tpu.train import create_train_state
-from pyrapose_tpu.train.step import make_fused_train_step
+from pyrapose_tpu.train.step import (
+    make_cached_train_step,
+    make_fused_train_step,
+)
 
 H = W = 64
 SPEC = dataclasses.replace(LINEMOD_SPEC, image_shape=(H, W))
@@ -62,6 +65,19 @@ class TestDeviceCache:
         cache = DeviceCache.build(ds, mesh=mesh, num_workers=2, verbose=False)
         cached = _losses(mesh, step_fn, cache.batches(schedule), fresh_state())
         np.testing.assert_array_equal(np.asarray(host), np.asarray(cached))
+
+        # the single-dispatch in-jit gather path (what `--device-cache` runs)
+        cached_step = make_cached_train_step(
+            mesh, SPEC.corners3d, pipe, donate=False
+        )
+        s = fresh_state()
+        injit = []
+        for idx in schedule:
+            s, parts = cached_step(
+                s, cache.images, cache.gt, np.asarray(idx, np.int32)
+            )
+            injit.append(float(parts["loss"]))
+        np.testing.assert_array_equal(np.asarray(host), np.asarray(injit))
 
     def test_take_shapes_and_len(self):
         ds = _dataset(n=6)
