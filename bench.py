@@ -281,6 +281,42 @@ def main() -> None:
             extras["train_img_s_per_chip_hostloader"] = round(
                 train_batch / dt_host / max(use, 1), 2
             )
+
+            # --- HBM-cached training throughput -----------------------------
+            # the `--device-cache` path: dataset staged in HBM, minibatch
+            # gathered inside the jitted step; host sends index vectors only
+            from pyrapose_tpu.data.device_cache import DeviceCache
+            from pyrapose_tpu.train.step import make_cached_train_step
+
+            cache = DeviceCache.build(
+                SyntheticPoseDataset(
+                    tspec, num_images=train_batch * 4, seed=2
+                ),
+                mesh=mesh, verbose=False,
+            )
+            cstep = make_cached_train_step(
+                mesh, tspec.corners3d, pipe, donate=True
+            )
+            crng = np.random.default_rng(0)
+            idxs = [
+                np.asarray(
+                    crng.integers(0, len(cache), train_batch), np.int32
+                )
+                for _ in range(t_iters + 2)
+            ]
+            for k in range(2):
+                state, parts = cstep(state, cache.images, cache.gt, idxs[k])
+            jax.block_until_ready(parts["loss"])
+            t0 = time.perf_counter()
+            for k in range(t_iters):
+                state, parts = cstep(
+                    state, cache.images, cache.gt, idxs[k + 2]
+                )
+            jax.block_until_ready(parts["loss"])
+            dt_cached = (time.perf_counter() - t0) / t_iters
+            extras["train_img_s_per_chip_cached"] = round(
+                train_batch / dt_cached / max(use, 1), 2
+            )
         except Exception as exc:  # keep the headline alive
             extras["train_error"] = str(exc)[:200]
 
