@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
         "~25 ms/frame of host CPU per 480x640 image)",
     )
     t.add_argument(
+        "--save-epochs", type=int, default=1, metavar="N",
+        help="save a checkpoint every N epochs instead of every epoch "
+        "(the final epoch always saves); with --device-cache an epoch can "
+        "be seconds while a save is a full device_get of the train state",
+    )
+    t.add_argument(
         "--keep-checkpoints", type=int, default=0, metavar="N",
         help="keep only the newest N complete checkpoints in "
         "--snapshot-path (0 = keep all); per-epoch resnet50+Adam "

@@ -316,13 +316,27 @@ def make_cached_train_step(
     """
     import jax.numpy as jnp
 
+    from pyrapose_tpu.parallel.mesh import image_sharding
+
     fused = _fused_step_body(corners3d, pipe_config, augment_seed)
     replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    images_sharded = image_sharding(mesh)
 
     def cached_step(state: TrainState, images_cache, gt_cache, idx):
-        images_u8 = jnp.take(images_cache, idx, axis=0)
+        # constrain the gather OUTPUT to the data sharding: the cache is
+        # replicated, so without this every device would gather (and then
+        # compute) the whole batch — GSPMD has no reason to split a
+        # replicated->replicated gather. With the constraint each device
+        # gathers only its batch rows from its local cache copy.
+        images_u8 = jax.lax.with_sharding_constraint(
+            jnp.take(images_cache, idx, axis=0), images_sharded
+        )
         gt = jax.tree_util.tree_map(
-            lambda a: jnp.take(a, idx, axis=0), gt_cache
+            lambda a: jax.lax.with_sharding_constraint(
+                jnp.take(a, idx, axis=0), batch_sharded
+            ),
+            gt_cache,
         )
         return fused(state, images_u8, gt)
 

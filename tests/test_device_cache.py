@@ -79,6 +79,40 @@ class TestDeviceCache:
             injit.append(float(parts["loss"]))
         np.testing.assert_array_equal(np.asarray(host), np.asarray(injit))
 
+    def test_cached_step_data_parallel_matches_single_device(self):
+        """On a DP mesh the in-jit gather must produce a batch-sharded
+        minibatch (each device computes only its rows); the losses must
+        match the single-device run up to reduction-order noise."""
+        if len(jax.devices()) < 4:
+            import pytest
+
+            pytest.skip("needs >=4 devices")
+        ds = _dataset()
+        schedule = [[3, 7, 1, 9], [0, 4, 2, 8]]
+        pipe = PipelineConfig(image_shape=(H, W), num_classes=SPEC.num_classes)
+        config = ModelConfig(num_classes=SPEC.num_classes,
+                             compute_dtype="float32")
+
+        def losses_on(mesh):
+            cache = DeviceCache.build(ds, mesh=mesh, verbose=False)
+            step = make_cached_train_step(
+                mesh, SPEC.corners3d, pipe, donate=False
+            )
+            s = create_train_state(
+                jax.random.PRNGKey(0), config, image_shape=(H, W)
+            )
+            out = []
+            for idx in schedule:
+                s, parts = step(
+                    s, cache.images, cache.gt, np.asarray(idx, np.int32)
+                )
+                out.append(float(parts["loss"]))
+            return out
+
+        single = losses_on(create_mesh(jax.devices()[:1]))
+        dp = losses_on(create_mesh(jax.devices()[:4]))
+        np.testing.assert_allclose(single, dp, rtol=2e-5, atol=2e-5)
+
     def test_take_shapes_and_len(self):
         ds = _dataset(n=6)
         cache = DeviceCache.build(ds, verbose=False)

@@ -273,5 +273,7 @@ class TestFreezeStopGradient:
 
         src = inspect.getsource(cli_train.run_train)
         assert "freeze_backbone=args.freeze_backbone" in src
-        assert "freeze_backbone_stem=True" in src
+        # stem freeze defaults ON; only the explicit --no-freeze-stem flag
+        # (from-scratch training) lifts it
+        assert 'freeze_backbone_stem=not getattr(args, "no_freeze_stem"' in src
         assert "not args.freeze_backbone" not in src
