@@ -84,6 +84,23 @@ def build_parser() -> argparse.ArgumentParser:
         "be seconds while a save is a full device_get of the train state",
     )
     t.add_argument(
+        "--stall-timeout", type=float, default=0, metavar="SECONDS",
+        help="exit(17) with a full stack dump if no host-visible training "
+        "progress (epoch-end loss fetch / save / eval) happens for this "
+        "long — remote-attached TPUs can wedge mid-transfer and only "
+        "process death releases the device; pair with --supervise or an "
+        "outer --auto-resume restart loop. 0 disables. Armed after the "
+        "first epoch completes (cold compiles are exempt); set it well "
+        "above your epoch time",
+    )
+    t.add_argument(
+        "--supervise", type=int, default=0, metavar="N",
+        help="run training as a child process and restart it up to N times "
+        "on any nonzero exit (stall watchdog, preemption, tunnel drop), "
+        "forcing --auto-resume so each restart continues from the newest "
+        "checkpoint",
+    )
+    t.add_argument(
         "--keep-checkpoints", type=int, default=0, metavar="N",
         help="keep only the newest N complete checkpoints in "
         "--snapshot-path (0 = keep all); per-epoch resnet50+Adam "
@@ -312,11 +329,88 @@ def _configure_jax() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    # `kill -USR1 <pid>` dumps every thread's stack without killing the
+    # process — the first tool to reach for when a run looks wedged
+    # (complements the train loop's --stall-timeout watchdog).
+    import faulthandler
+    import signal
+    import threading
+
+    if threading.current_thread() is threading.main_thread():
+        try:
+            faulthandler.register(signal.SIGUSR1, all_threads=True)
+        except (AttributeError, ValueError):  # platform without SIGUSR1
+            pass
+
+
+def _child_command(argv: list[str]) -> list[str]:
+    """The supervised child's argv: same command, --supervise stripped,
+    --auto-resume forced (each restart continues from the newest
+    checkpoint)."""
+    import sys as _sys
+
+    child = [_sys.executable, "-u", "-m", "pyrapose_tpu.cli.main"]
+    skip_next = False
+    for a in argv:
+        if skip_next:
+            skip_next = False
+            continue
+        if a == "--supervise":
+            skip_next = True
+            continue
+        if a.startswith("--supervise="):
+            continue
+        child.append(a)
+    if "--auto-resume" not in child:
+        child.append("--auto-resume")
+    return child
+
+
+def _run_supervised(argv: list[str], retries: int) -> int:
+    """Restart the (single-process) train child on nonzero exit.
+
+    The child runs the identical command minus --supervise, plus
+    --auto-resume, so every incarnation continues from the newest complete
+    checkpoint. Used for unattended runs on remote-attached TPUs where the
+    transport can wedge (exit 17 from the stall watchdog) or the host can
+    preempt the job.
+    """
+    import subprocess
+    import time as _time
+
+    child = _child_command(argv)
+    attempt = 0
+    while True:
+        rc = subprocess.call(child)
+        if rc == 0:
+            return 0
+        attempt += 1
+        if attempt > retries:
+            print(f"supervise: giving up after {retries} restarts (rc={rc})")
+            return rc
+        print(
+            f"supervise: child exited rc={rc}; restart "
+            f"{attempt}/{retries} (auto-resume from newest checkpoint)"
+        )
+        _time.sleep(min(5.0 * attempt, 60.0))
+
 
 def main(argv: list[str] | None = None) -> int:
     _configure_jax()
     args = build_parser().parse_args(argv)
     if args.command == "train":
+        if getattr(args, "supervise", 0):
+            if getattr(args, "coordinator", None):
+                raise SystemExit(
+                    "--supervise is single-process; multi-host jobs restart "
+                    "through their cluster scheduler instead"
+                )
+            import sys as _sys
+
+            return _run_supervised(
+                list(argv if argv is not None else _sys.argv[1:]),
+                args.supervise,
+            )
         if getattr(args, "coordinator", None):
             # multi-host: join the cluster BEFORE importing the train stack
             # (its flax/optax imports initialize the XLA backend, after

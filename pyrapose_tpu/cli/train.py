@@ -338,6 +338,16 @@ def run_train(args) -> int:
     keep_checkpoints = getattr(args, "keep_checkpoints", 0) or 0
     save_epochs = max(getattr(args, "save_epochs", 1) or 1, 1)
     primary = n_proc == 1 or jax.process_index() == 0
+    # stall watchdog: armed AFTER the first epoch-end fetch (cold compile
+    # can legitimately take many minutes); beats at every host-visible sync
+    # point. A wedged device transport turns into exit(17) + stack dump,
+    # which --supervise/--auto-resume heal by restarting from the newest
+    # checkpoint (train/watchdog.py).
+    from pyrapose_tpu.train.watchdog import StallWatchdog
+
+    watchdog = StallWatchdog(
+        getattr(args, "stall_timeout", 0) or 0, label="train"
+    )
     # resume mid-training: the (seed, epoch)-keyed schedule lets us jump to
     # the exact (epoch, step-within-epoch) the previous incarnation reached
     global_step = int(state.step)
@@ -401,12 +411,15 @@ def run_train(args) -> int:
             if save_every and global_step % save_every == 0 and primary:
                 path = save_checkpoint(state, args.snapshot_path)
                 prune_checkpoints(args.snapshot_path, keep_checkpoints)
+                watchdog.beat()  # the save synced the device
                 print(f"step {global_step}: saved {path}")
             if max_steps and global_step >= max_steps:
                 print(f"reached --max-steps {max_steps}; stopping")
                 done = True
                 break
         host_parts = jax.device_get(parts_list)
+        watchdog.beat()
+        watchdog.start()  # no-op when already running or timeout <= 0
         losses = [float(p["loss"]) for p in host_parts]
         part_sums: dict = {}
         for p in host_parts:
@@ -431,6 +444,7 @@ def run_train(args) -> int:
                 and primary):
             report = _run_eval(args, spec, state, val_dataset, model_points,
                                config)
+            watchdog.beat()
             scalars["val_recall"] = report["mean_recall"]
             scalars["val_detection_rate"] = report["mean_detection_rate"]
             print(
@@ -454,9 +468,11 @@ def run_train(args) -> int:
         ):
             path = save_checkpoint(state, args.snapshot_path)
             prune_checkpoints(args.snapshot_path, keep_checkpoints)
+            watchdog.beat()
             print(f"saved {path}")
         if done:
             break
+    watchdog.stop()
     if profiling:
         jax.profiler.stop_trace()
     logger.close()

@@ -1,0 +1,79 @@
+"""Stall watchdog + supervisor: wedged-device detection and self-healing.
+
+Motivated by a real failure: on a remote-attached TPU the transport wedged
+mid-run — every thread asleep, zero CPU, no exception ever raised — and the
+only cure is process death + restart from the newest checkpoint. The
+reference has no analogue (keras jobs just die, SURVEY §5 failure-recovery
+row); this is the TPU-native extension.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyrapose_tpu.cli.main import _child_command, build_parser
+from pyrapose_tpu.train.watchdog import EXIT_STALLED, StallWatchdog
+
+
+class TestStallWatchdog:
+    def test_fires_without_beats(self):
+        fired = []
+        wd = StallWatchdog(0.2, on_stall=lambda: fired.append(1))
+        wd.start()
+        deadline = time.monotonic() + 5
+        while not fired and time.monotonic() < deadline:
+            time.sleep(0.05)
+        wd.stop()
+        assert fired and wd.fired
+
+    def test_beats_keep_it_alive(self):
+        fired = []
+        wd = StallWatchdog(0.4, on_stall=lambda: fired.append(1))
+        wd.start()
+        for _ in range(8):
+            time.sleep(0.1)
+            wd.beat()
+        wd.stop()
+        assert not fired and not wd.fired
+
+    def test_disabled_when_timeout_zero(self):
+        wd = StallWatchdog(0, on_stall=lambda: (_ for _ in ()).throw(AssertionError))
+        wd.start()
+        assert wd._thread is None  # no thread armed
+        wd.beat()
+        wd.stop()
+
+    def test_stop_is_idempotent_and_default_exit_code(self):
+        wd = StallWatchdog(10)
+        wd.start()
+        wd.stop()
+        wd.stop()
+        assert EXIT_STALLED == 17
+
+
+class TestSupervisor:
+    def test_child_command_strips_supervise_forces_auto_resume(self):
+        argv = [
+            "train", "linemod", "/data", "--supervise", "3",
+            "--stall-timeout", "600", "--batch-size", "16",
+        ]
+        child = _child_command(argv)
+        assert "--supervise" not in child and "3" not in child[-6:]
+        assert child[-1] == "--auto-resume"
+        assert "--stall-timeout" in child and "600" in child
+        # module re-exec form, unbuffered
+        assert child[1:4] == ["-u", "-m", "pyrapose_tpu.cli.main"]
+
+    def test_child_command_keeps_existing_auto_resume(self):
+        argv = ["train", "synthetic", "--supervise=2", "--auto-resume"]
+        child = _child_command(argv)
+        assert child.count("--auto-resume") == 1
+        assert all(not a.startswith("--supervise") for a in child)
+
+    def test_parser_accepts_flags(self):
+        args = build_parser().parse_args(
+            ["train", "synthetic", "--supervise", "2",
+             "--stall-timeout", "120.5"]
+        )
+        assert args.supervise == 2
+        assert args.stall_timeout == 120.5
