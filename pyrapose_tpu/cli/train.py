@@ -112,38 +112,57 @@ def _epoch_schedule(dataset_len, batch_size, steps, epoch, seed):
     return idx
 
 
-def _run_eval(args, spec, state, val_dataset, model_points, config):
-    """ADD(-S) recall on the validation split with current params.
+class _EvalRunner:
+    """In-training ADD(-S) eval with everything reusable cached.
+
+    Two per-call costs dominate a naive eval and are paid exactly once here:
+    the jitted inference program (rebuilding `build_inference_fn` every eval
+    recompiles — ~a minute of XLA per eval) and the host decode of the val
+    images (sequential PNG decode on few-core hosts). Val batches are
+    decoded on first use and kept as uint8 (64 frames at 480x640 is ~59 MB).
 
     `config` is the SAME ModelConfig training uses (incl. any --config anchor
     override) so the validation decode matches the trained anchor layout.
     """
-    from pyrapose_tpu.eval.drivers import evaluate_by_name
-    from pyrapose_tpu.inference import build_inference_fn
-    from pyrapose_tpu.models import PyraPose
-    from pyrapose_tpu.pose import RansacConfig
 
-    model = PyraPose(config=config)
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
-    infer = build_inference_fn(model, spec.corners3d, spec.image_shape,
-                               RansacConfig())
+    def __init__(self, args, spec, val_dataset, model_points, config):
+        from pyrapose_tpu.inference import build_inference_fn
+        from pyrapose_tpu.models import PyraPose
+        from pyrapose_tpu.pose import RansacConfig
 
-    n = min(len(val_dataset), args.eval_samples)
+        self.args = args
+        self.spec = spec
+        self.model_points = model_points
+        self.val_dataset = val_dataset
+        model = PyraPose(config=config)
+        self.infer = build_inference_fn(
+            model, spec.corners3d, spec.image_shape, RansacConfig()
+        )
+        self._batches: list | None = None
 
-    def batches():
-        for i in range(0, n - n % args.batch_size, args.batch_size):
-            yield val_dataset.batch(list(range(i, i + args.batch_size)))
+    def batches(self) -> list:
+        if self._batches is None:
+            n = min(len(self.val_dataset), self.args.eval_samples)
+            bs = self.args.batch_size
+            self._batches = [
+                self.val_dataset.batch(list(range(i, i + bs)))
+                for i in range(0, n - n % bs, bs)
+            ]
+        return self._batches
 
-    name = args.dataset if args.dataset != "synthetic" else "linemod"
-    report = evaluate_by_name(
-        name if name in ("linemod", "occlusion", "ycbv", "homebrewed")
-        else "linemod",
-        spec, infer, variables, batches(), model_points=model_points,
-        verbose=False,
-    )
-    return report
+    def __call__(self, state) -> dict:
+        from pyrapose_tpu.eval.drivers import evaluate_by_name
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        name = self.args.dataset if self.args.dataset != "synthetic" else "linemod"
+        return evaluate_by_name(
+            name if name in ("linemod", "occlusion", "ycbv", "homebrewed")
+            else "linemod",
+            self.spec, self.infer, variables, self.batches(),
+            model_points=self.model_points, verbose=False,
+        )
 
 
 def run_train(args) -> int:
@@ -317,6 +336,7 @@ def run_train(args) -> int:
             from pyrapose_tpu.eval.drivers import load_model_points
 
             model_points = load_model_points(args.data_path, spec)
+    eval_runner = None  # built lazily at the first eval
 
     profile_dir = getattr(args, "profile_dir", None)
     profile_steps = getattr(args, "profile_steps", 8)
@@ -328,7 +348,13 @@ def run_train(args) -> int:
         from pyrapose_tpu.data.device_cache import DeviceCache
 
         print("staging dataset to device memory (--device-cache)...")
-        cache = DeviceCache.build(dataset, mesh=mesh, num_workers=workers)
+        # decoded-set disk cache: restarts (--supervise/--auto-resume) skip
+        # the minutes-long PNG decode pass on few-core hosts
+        disk_cache = None
+        if args.snapshot_path and args.dataset != "synthetic":
+            disk_cache = os.path.join(args.snapshot_path, "device_cache.npz")
+        cache = DeviceCache.build(dataset, mesh=mesh, num_workers=workers,
+                                  disk_cache=disk_cache)
 
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // args.batch_size, 1)
     profiling = False
@@ -442,8 +468,10 @@ def run_train(args) -> int:
         )
         if (not done and eval_every > 0 and (epoch + 1) % eval_every == 0
                 and primary):
-            report = _run_eval(args, spec, state, val_dataset, model_points,
-                               config)
+            if eval_runner is None:
+                eval_runner = _EvalRunner(args, spec, val_dataset,
+                                          model_points, config)
+            report = eval_runner(state)
             watchdog.beat()
             scalars["val_recall"] = report["mean_recall"]
             scalars["val_detection_rate"] = report["mean_detection_rate"]

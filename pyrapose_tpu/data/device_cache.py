@@ -64,11 +64,18 @@ class DeviceCache:
         num_workers: int = 2,
         load_batch: int = 32,
         verbose: bool = True,
+        disk_cache: str | None = None,
     ) -> "DeviceCache":
         """Decode + letterbox every sample once (threaded), stage to device.
 
         `dataset` must be un-augmented: the cache must hold the deterministic
         letterboxed frames, not one frozen random augmentation.
+
+        disk_cache: optional .npz path persisting the decoded arrays. On
+        few-core hosts the decode pass dominates staging (minutes for a few
+        thousand PNGs); a supervised restart (--supervise/--auto-resume)
+        reloads the decoded set in seconds instead. The file is keyed on
+        (n, image_shape) and ignored on mismatch.
         """
         if getattr(dataset, "augment", None) is not None:
             raise ValueError(
@@ -77,30 +84,37 @@ class DeviceCache:
                 "augmentation instead)"
             )
         n = len(dataset)
-        order = np.arange(n)
-        schedule = [
-            list(order[i : min(i + load_batch, n)])
-            for i in range(0, n, load_batch)
-        ]
-        images_parts: list[np.ndarray] = []
-        gt_parts: list[GroundTruth] = []
-        loader = HostPrefetcher(
-            dataset, load_batch, schedule=schedule, num_workers=num_workers
-        )
-        done = 0
-        for images_u8, gt in loader:
-            images_parts.append(np.asarray(images_u8))
-            gt_parts.append(gt)
-            done += images_u8.shape[0]
-            if verbose and (done % (load_batch * 16) == 0 or done == n):
-                print(f"  device-cache: staged {done}/{n} frames", flush=True)
-        images = np.concatenate(images_parts, axis=0)
-        gt = GroundTruth(
-            *(
-                np.concatenate([np.asarray(p[i]) for p in gt_parts], axis=0)
-                for i in range(len(GroundTruth._fields))
+        images, gt = (None, None)
+        if disk_cache:
+            images, gt = cls._load_disk(disk_cache, n, verbose)
+        if images is None:
+            order = np.arange(n)
+            schedule = [
+                list(order[i : min(i + load_batch, n)])
+                for i in range(0, n, load_batch)
+            ]
+            images_parts: list[np.ndarray] = []
+            gt_parts: list[GroundTruth] = []
+            loader = HostPrefetcher(
+                dataset, load_batch, schedule=schedule, num_workers=num_workers
             )
-        )
+            done = 0
+            for images_u8, gt_b in loader:
+                images_parts.append(np.asarray(images_u8))
+                gt_parts.append(gt_b)
+                done += images_u8.shape[0]
+                if verbose and (done % (load_batch * 16) == 0 or done == n):
+                    print(f"  device-cache: staged {done}/{n} frames",
+                          flush=True)
+            images = np.concatenate(images_parts, axis=0)
+            gt = GroundTruth(
+                *(
+                    np.concatenate([np.asarray(p[i]) for p in gt_parts], axis=0)
+                    for i in range(len(GroundTruth._fields))
+                )
+            )
+            if disk_cache:
+                cls._save_disk(disk_cache, images, gt, verbose)
         sharding = None
         if mesh is not None and np.prod(mesh.devices.shape) > 1:
             sharding = NamedSharding(mesh, P())  # replicate over the mesh
@@ -112,6 +126,56 @@ class DeviceCache:
                 f"{cache.nbytes / 1e9:.2f} GB on device", flush=True
             )
         return cache
+
+    @staticmethod
+    def _save_disk(path: str, images: np.ndarray, gt: GroundTruth,
+                   verbose: bool) -> None:
+        """Atomic write (tmp + rename): a killed run never leaves a torn
+        cache for its --auto-resume successor to trip on."""
+        import os
+
+        tmp = path + ".tmp"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(tmp, "wb") as f:
+            np.savez(
+                f, images=images,
+                **{f"gt_{k}": np.asarray(v)
+                   for k, v in zip(GroundTruth._fields, gt)},
+            )
+        os.replace(tmp, path)
+        if verbose:
+            print(f"  device-cache: decoded set saved to {path}", flush=True)
+
+    @staticmethod
+    def _load_disk(path: str, n: int, verbose: bool):
+        """(images, gt) from a previous run's save, or (None, None) when the
+        file is absent/stale (different sample count => different dataset)."""
+        import os
+
+        if not os.path.exists(path):
+            return None, None
+        try:
+            with np.load(path) as z:
+                images = z["images"]
+                if images.shape[0] != n:
+                    if verbose:
+                        print(
+                            f"  device-cache: {path} holds "
+                            f"{images.shape[0]} frames, dataset has {n}; "
+                            "re-decoding", flush=True)
+                    return None, None
+                gt = GroundTruth(
+                    *(z[f"gt_{k}"] for k in GroundTruth._fields)
+                )
+            if verbose:
+                print(f"  device-cache: decoded set loaded from {path}",
+                      flush=True)
+            return images, gt
+        except Exception as exc:
+            if verbose:
+                print(f"  device-cache: ignoring unreadable {path}: {exc}",
+                      flush=True)
+            return None, None
 
     def take(self, indices: np.ndarray) -> tuple[jnp.ndarray, GroundTruth]:
         """Gather a minibatch on device. Host traffic: the index vector."""

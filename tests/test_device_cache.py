@@ -137,3 +137,44 @@ class TestDeviceCache:
 
         with pytest.raises(ValueError, match="un-augmented"):
             DeviceCache.build(FakeAug())
+
+
+class TestDiskCache:
+    """Decoded-set persistence: a supervised restart must reload the decode
+    pass from disk (seconds) instead of re-decoding PNGs (minutes on
+    few-core hosts)."""
+
+    def test_roundtrip_and_reuse(self, tmp_path):
+        path = str(tmp_path / "device_cache.npz")
+        ds = _dataset(n=6)
+        c1 = DeviceCache.build(ds, verbose=False, disk_cache=path)
+        assert (tmp_path / "device_cache.npz").exists()
+
+        calls = []
+        orig = ds.sample
+
+        def counting_sample(i, **kw):
+            calls.append(i)
+            return orig(i, **kw)
+
+        ds.sample = counting_sample
+        c2 = DeviceCache.build(ds, verbose=False, disk_cache=path)
+        assert calls == []  # loaded from disk, zero decodes
+        np.testing.assert_array_equal(
+            np.asarray(c1.images), np.asarray(c2.images)
+        )
+        for a, b in zip(c1.gt, c2.gt):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_stale_file_is_ignored(self, tmp_path):
+        path = str(tmp_path / "device_cache.npz")
+        DeviceCache.build(_dataset(n=6), verbose=False, disk_cache=path)
+        # different sample count => different dataset => must re-decode
+        c = DeviceCache.build(_dataset(n=4), verbose=False, disk_cache=path)
+        assert len(c) == 4
+
+    def test_unreadable_file_is_ignored(self, tmp_path):
+        path = str(tmp_path / "device_cache.npz")
+        (tmp_path / "device_cache.npz").write_bytes(b"not an npz")
+        c = DeviceCache.build(_dataset(n=4), verbose=False, disk_cache=path)
+        assert len(c) == 4

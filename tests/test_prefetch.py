@@ -280,3 +280,41 @@ class TestTrainCli:
         assert len(got) == 6
         for a, b in zip(ref, got):
             assert b == pytest.approx(a, rel=1e-4), (ref, got)
+
+
+class TestEvalRunnerCaching:
+    def test_val_batches_decoded_once_across_evals(self):
+        """_EvalRunner must pay host decode + inference-program build once;
+        every subsequent in-training eval reuses both (the naive per-eval
+        rebuild cost ~minutes of XLA recompilation per eval)."""
+        from types import SimpleNamespace
+
+        from pyrapose_tpu.cli.train import _EvalRunner
+        from pyrapose_tpu.data.spec import dataset_spec
+        from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
+        from pyrapose_tpu.models import ModelConfig
+
+        import dataclasses
+
+        spec = dataclasses.replace(
+            dataset_spec("linemod", None), image_shape=(64, 64)
+        )
+        ds = SyntheticPoseDataset(spec, num_images=4, seed=0)
+        calls = []
+        orig = ds.batch
+
+        def counting_batch(idx, **kw):
+            calls.append(list(idx))
+            return orig(idx, **kw)
+
+        ds.batch = counting_batch
+        args = SimpleNamespace(eval_samples=4, batch_size=2,
+                               dataset="synthetic")
+        runner = _EvalRunner(
+            args, spec, ds, None,
+            ModelConfig(num_classes=spec.num_classes, backbone="resnet10"),
+        )
+        b1 = runner.batches()
+        b2 = runner.batches()
+        assert b1 is b2
+        assert len(calls) == 2  # 4 samples / batch 2, decoded exactly once
