@@ -286,9 +286,10 @@ def run_train(args) -> int:
             "--device-cache with multi-host is not supported yet (each "
             "process would need its schedule shard staged locally)"
         )
-    # cached mode: the host never touches pixels after staging, so the
-    # photometric soup must run on device; the (host-side) affine warp is
-    # unavailable and is skipped with a note
+    # cached mode: the host never touches pixels after staging, so BOTH
+    # augmentation stages move into the jitted step — the photometric soup
+    # (data/device_augment.py) and the geometric scale+translate warp with
+    # its GT/pose compensation (data/device_affine.py)
     device_aug = (
         (getattr(args, "device_augment", False) or use_cache)
         and not args.no_augment
@@ -302,6 +303,7 @@ def run_train(args) -> int:
         step_fn = make_cached_train_step(
             mesh, spec.corners3d, pipe, donate=True,
             augment_seed=args.seed if device_aug else None,
+            affine=AugmentConfig() if device_aug else None,
         )
     else:
         step_fn = make_fused_train_step(
@@ -311,9 +313,8 @@ def run_train(args) -> int:
     dataset = _build_dataset(
         args, spec, augment=not args.no_augment and not use_cache
     )
-    if use_cache and not args.no_augment:
-        print("--device-cache: photometric augmentation on device; "
-              "geometric (affine) augmentation skipped")
+    if use_cache and device_aug:
+        print("--device-cache: photometric + affine augmentation on device")
     plateau = ReduceLROnPlateau()
     logger = MetricsLogger(
         os.path.join(args.snapshot_path, "metrics.jsonl")

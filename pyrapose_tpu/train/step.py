@@ -218,11 +218,18 @@ def make_sharded_train_step(mesh: Mesh, donate: bool = True):
     )
 
 
-def _fused_step_body(corners3d, pipe_config, augment_seed: int | None):
+def _fused_step_body(corners3d, pipe_config, augment_seed: int | None,
+                     affine: "AugmentConfig | None" = None):
     """(state, images_u8, gt) -> (state, parts): normalization, optional
-    on-device photometric augmentation, anchor-target generation, and the
-    optimizer update — one traceable body shared by the loader-fed and
-    cache-fed jit wrappers."""
+    on-device photometric + affine augmentation, anchor-target generation,
+    and the optimizer update — one traceable body shared by the loader-fed
+    and cache-fed jit wrappers.
+
+    affine (requires augment_seed): also apply the per-sample geometric
+    scale+translate augmentation on device (data/device_affine.py) — images
+    are warped and the GroundTruth (boxes, poses, validity, P3 slot raster)
+    is transformed to match, in host augment_sample order (photometric
+    first, reference image.py semantics)."""
     import jax.numpy as jnp
 
     from pyrapose_tpu.data.pipeline import (
@@ -234,6 +241,8 @@ def _fused_step_body(corners3d, pipe_config, augment_seed: int | None):
         # import OUTSIDE the trace (a first import during tracing would
         # create any module-level array constants as leaked tracers)
         from pyrapose_tpu.data import device_augment  # noqa: F401
+    if affine is not None and augment_seed is None:
+        raise ValueError("affine augmentation requires augment_seed")
 
     corners = jnp.asarray(corners3d)
 
@@ -245,7 +254,15 @@ def _fused_step_body(corners3d, pipe_config, augment_seed: int | None):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(augment_seed), state.step
             )
-            images = photometric_batch(key, images)
+            # split only when affine is on: keeps the photometric stream
+            # bit-identical for existing affine-less runs
+            pkey = key if affine is None else jax.random.fold_in(key, 0)
+            images = photometric_batch(pkey, images)
+            if affine is not None:
+                from pyrapose_tpu.data.device_affine import affine_batch
+
+                akey = jax.random.fold_in(key, 1)
+                images, gt = affine_batch(akey, images, gt, affine)
         targets = jax.vmap(
             lambda g: targets_from_poses(g, corners, pipe_config)
         )(gt)
@@ -304,6 +321,7 @@ def make_cached_train_step(
     pipe_config,
     donate: bool = True,
     augment_seed: int | None = None,
+    affine: "AugmentConfig | None" = None,
 ):
     """jit a train step that gathers its minibatch from an HBM-resident
     dataset cache INSIDE the program: fn(state, images_cache, gt_cache, idx).
@@ -318,7 +336,7 @@ def make_cached_train_step(
 
     from pyrapose_tpu.parallel.mesh import image_sharding
 
-    fused = _fused_step_body(corners3d, pipe_config, augment_seed)
+    fused = _fused_step_body(corners3d, pipe_config, augment_seed, affine)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
     images_sharded = image_sharding(mesh)
