@@ -294,8 +294,13 @@ def main() -> None:
                 ),
                 mesh=mesh, verbose=False,
             )
+            # measure the REAL --device-cache training config: photometric
+            # + geometric augmentation fused into the step
+            from pyrapose_tpu.data.augment import AugmentConfig
+
             cstep = make_cached_train_step(
-                mesh, tspec.corners3d, pipe, donate=True
+                mesh, tspec.corners3d, pipe, donate=True,
+                augment_seed=0, affine=AugmentConfig(),
             )
             crng = np.random.default_rng(0)
             idxs = [

@@ -430,6 +430,19 @@ def main(argv: list[str] | None = None) -> int:
                 f"{jax.local_device_count()} local / {jax.device_count()} "
                 "global devices"
             )
+        # Arm a watchdog BEFORE the train stack imports: the first jnp call
+        # during import initializes the (possibly remote) TPU backend, and a
+        # wedged attach hangs there forever — outside the train loop's own
+        # watchdog. run_train stops this one as soon as the mesh is up.
+        init_watchdog = None
+        if getattr(args, "stall_timeout", 0):
+            from pyrapose_tpu.train.watchdog import StallWatchdog
+
+            init_watchdog = StallWatchdog(
+                args.stall_timeout, label="backend-init"
+            ).start()
+        args._init_watchdog = init_watchdog
+
         from pyrapose_tpu.cli.train import run_train
 
         return run_train(args)

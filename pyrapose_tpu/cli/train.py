@@ -241,6 +241,13 @@ def run_train(args) -> int:
         mesh = create_mesh(jax.devices()[:use])
         print(f"devices: {use} ({jax.devices()[0].platform})")
 
+    # backend attach succeeded: hand over from the import-time init
+    # watchdog (cli/main.py) to the train loop's own (armed below) —
+    # staging/compile between here and the loop may legitimately be slow
+    init_wd = getattr(args, "_init_watchdog", None)
+    if init_wd is not None:
+        init_wd.stop()
+
     state = create_train_state(
         jax.random.PRNGKey(args.seed),
         config,

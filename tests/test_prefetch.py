@@ -282,6 +282,36 @@ class TestTrainCli:
             assert b == pytest.approx(a, rel=1e-4), (ref, got)
 
 
+class TestInitWatchdogHandover:
+    def test_run_train_stops_the_import_time_watchdog(self, tmp_path):
+        """cli/main.py arms a watchdog BEFORE the train-stack import (a
+        wedged TPU attach hangs there, outside the loop watchdog's reach);
+        run_train must stop it once the mesh is up — otherwise a slow
+        staging/compile phase would be killed as a false stall."""
+        from pyrapose_tpu.cli.main import build_parser
+        from pyrapose_tpu.cli.train import run_train
+        from pyrapose_tpu.train.watchdog import StallWatchdog
+
+        args = build_parser().parse_args(
+            [
+                "train", "synthetic",
+                "--backbone", "resnet10",
+                "--batch-size", "2",
+                "--epochs", "1",
+                "--steps-per-epoch", "2",
+                "--image-min-side", "64",
+                "--image-max-side", "64",
+                "--snapshot-path", str(tmp_path / "snap"),
+                "--workers", "1",
+            ]
+        )
+        wd = StallWatchdog(3600, label="backend-init").start()
+        args._init_watchdog = wd
+        assert run_train(args) == 0
+        assert wd._thread is None  # stopped at handover
+        assert not wd.fired
+
+
 class TestEvalRunnerCaching:
     def test_val_batches_decoded_once_across_evals(self):
         """_EvalRunner must pay host decode + inference-program build once;
