@@ -436,7 +436,10 @@ def main(argv: list[str] | None = None) -> int:
         # watchdog. run_train stops this one as soon as the mesh is up.
         init_watchdog = None
         if getattr(args, "stall_timeout", 0):
-            from pyrapose_tpu.train.watchdog import StallWatchdog
+            # NOTE: pyrapose_tpu.watchdog, NOT .train.watchdog — importing
+            # the train package initializes the backend, which is the very
+            # hang this watchdog exists to catch
+            from pyrapose_tpu.watchdog import StallWatchdog
 
             init_watchdog = StallWatchdog(
                 args.stall_timeout, label="backend-init"

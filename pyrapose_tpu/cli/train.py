@@ -376,8 +376,8 @@ def run_train(args) -> int:
     # can legitimately take many minutes); beats at every host-visible sync
     # point. A wedged device transport turns into exit(17) + stack dump,
     # which --supervise/--auto-resume heal by restarting from the newest
-    # checkpoint (train/watchdog.py).
-    from pyrapose_tpu.train.watchdog import StallWatchdog
+    # checkpoint (pyrapose_tpu/watchdog.py).
+    from pyrapose_tpu.watchdog import StallWatchdog
 
     watchdog = StallWatchdog(
         getattr(args, "stall_timeout", 0) or 0, label="train"

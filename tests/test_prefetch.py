@@ -290,7 +290,7 @@ class TestInitWatchdogHandover:
         staging/compile phase would be killed as a false stall."""
         from pyrapose_tpu.cli.main import build_parser
         from pyrapose_tpu.cli.train import run_train
-        from pyrapose_tpu.train.watchdog import StallWatchdog
+        from pyrapose_tpu.watchdog import StallWatchdog
 
         args = build_parser().parse_args(
             [

@@ -12,7 +12,7 @@ from __future__ import annotations
 import time
 
 from pyrapose_tpu.cli.main import _child_command, build_parser
-from pyrapose_tpu.train.watchdog import EXIT_STALLED, StallWatchdog
+from pyrapose_tpu.watchdog import EXIT_STALLED, StallWatchdog
 
 
 class TestStallWatchdog:
@@ -77,3 +77,28 @@ class TestSupervisor:
         )
         assert args.supervise == 2
         assert args.stall_timeout == 120.5
+
+
+class TestImportGraph:
+    def test_watchdog_import_pulls_no_train_stack(self):
+        """The init watchdog (cli/main.py) arms BEFORE the train-stack
+        import precisely because that import initializes the TPU backend
+        (and hangs when the attach is wedged). pyrapose_tpu.watchdog must
+        therefore never pull the train stack itself — a regression here
+        silently re-opens the uncovered-hang window."""
+        import subprocess
+        import sys
+
+        code = (
+            "import sys\n"
+            "import pyrapose_tpu.watchdog\n"
+            "bad = [m for m in sys.modules\n"
+            "       if m in ('flax', 'optax', 'pyrapose_tpu.train.step',\n"
+            "                'pyrapose_tpu.models')]\n"
+            "raise SystemExit(1 if bad else 0)\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert proc.returncode == 0
