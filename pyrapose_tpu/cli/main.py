@@ -73,9 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     t.add_argument(
         "--device-augment", action="store_true",
-        help="run the photometric augmentation soup on device inside the "
-        "jitted train step (host keeps only decode + affine warp; removes "
-        "~25 ms/frame of host CPU per 480x640 image)",
+        help="run ALL training augmentation (photometric soup + geometric "
+        "scale/translate warp with GT compensation) on device inside the "
+        "jitted train step; the host loader then only decodes images "
+        "(removes ~30 ms/frame of host CPU per 480x640 image)",
     )
     t.add_argument(
         "--save-epochs", type=int, default=1, metavar="N",

@@ -55,13 +55,16 @@ def _build_dataset(args, spec, augment, set_name="train"):
         return SyntheticPoseDataset(spec, num_images=max(n, 64), seed=seed)
     from pyrapose_tpu.data.datasets import create_dataset
 
-    # --device-augment: the photometric soup moves into the jitted train
-    # step (data/device_augment.py); the host keeps only the affine warp
+    # --device-augment: BOTH augmentation stages (photometric soup +
+    # geometric warp with GT compensation) move into the jitted train step
+    # (data/device_augment.py + data/device_affine.py); the host loader
+    # then only decodes
     host_augment = None
     if augment and set_name == "train":
-        host_augment = AugmentConfig(
-            photometric=not getattr(args, "device_augment", False)
-        )
+        if getattr(args, "device_augment", False):
+            host_augment = None
+        else:
+            host_augment = AugmentConfig()
     return create_dataset(
         args.dataset,
         args.data_path,
@@ -316,6 +319,7 @@ def run_train(args) -> int:
         step_fn = make_fused_train_step(
             mesh, spec.corners3d, pipe, donate=True,
             augment_seed=args.seed if device_aug else None,
+            affine=AugmentConfig() if device_aug else None,
         )
     dataset = _build_dataset(
         args, spec, augment=not args.no_augment and not use_cache

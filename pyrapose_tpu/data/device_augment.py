@@ -4,9 +4,10 @@ The host photometric soup (data/augment.py photometric_augment, matching the
 reference imgaug pipeline utils/image.py:154-190) costs ~25 ms of host CPU
 per 480x640 frame — the single largest host-loader stage. On TPU the same
 math is a handful of fused elementwise passes, essentially free next to the
-conv stack. With --device-augment the host keeps only decode + affine warp
-and the photometric jitter runs inside the jitted fused train step, keyed by
-(seed, global step, sample index) — deterministic, resumable, zero host cost.
+conv stack. With --device-augment the host loader only decodes: the
+photometric jitter here and the geometric warp (data/device_affine.py) both
+run inside the jitted fused train step, keyed by (seed, global step, sample
+index) — deterministic, resumable, zero host cost.
 
 Design: of the 7 reference ops, five are affine maps of the channel vector
 (add, multiply, linear-contrast, grayscale-mix, hue/saturation):

@@ -283,6 +283,7 @@ def make_fused_train_step(
     pipe_config,
     donate: bool = True,
     augment_seed: int | None = None,
+    affine: "AugmentConfig | None" = None,
 ):
     """jit a train step that takes RAW loader output: (state, images_u8, gt).
 
@@ -299,7 +300,8 @@ def make_fused_train_step(
     """
     from pyrapose_tpu.parallel.mesh import image_sharding
 
-    fused_step = _fused_step_body(corners3d, pipe_config, augment_seed)
+    fused_step = _fused_step_body(corners3d, pipe_config, augment_seed,
+                                  affine)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
     # On a 2-D (data x spatial) mesh the image rows are additionally split

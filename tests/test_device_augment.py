@@ -155,3 +155,30 @@ class TestFusedStepIntegration:
         assert float(p_aug1["loss"]) == pytest.approx(
             float(p_aug2["loss"]), rel=1e-7
         )
+
+
+class TestDeviceAugmentCli:
+    def test_host_loader_is_decode_only_under_device_augment(self, tmp_path):
+        """--device-augment moves BOTH augmentation stages on device: the
+        host dataset must come back with augment=None (decode only), while
+        the default path keeps the full host AugmentConfig."""
+        from types import SimpleNamespace
+
+        from pyrapose_tpu.cli.train import _build_dataset
+        from pyrapose_tpu.data.spec import dataset_spec
+        from tests.test_datasets import _make_bop_tree
+
+        root = tmp_path / "ds"
+        _make_bop_tree(str(root), [1, 2], n_images=2)
+        spec = dataset_spec("linemod", str(root))
+
+        def args(dev):
+            return SimpleNamespace(
+                dataset="linemod", data_path=str(root), seed=0,
+                device_augment=dev, cache_images=0.0, steps_per_epoch=None,
+                batch_size=2,
+            )
+
+        assert _build_dataset(args(True), spec, augment=True).augment is None
+        host = _build_dataset(args(False), spec, augment=True).augment
+        assert host is not None and host.photometric
