@@ -140,6 +140,105 @@ def smooth_l1_loss(
     return weight * jnp.sum(jnp.sum(l, axis=-1) * positive) / num_pos
 
 
+# --- research loss variants ---------------------------------------------
+# The reference ships a set of experimental losses that its train script
+# never compiles (losses.py:120-144 cross, :198-246 smooth_l1_pose,
+# :249-318 weighted_mse/l1/msle, :411-441 smooth_l1_xy — all dead code in
+# the reference but part of its public loss surface). They are provided
+# here in the same static-shape masked form as the live losses so users
+# swapping loss configs find the full surface. Where the reference's dead
+# code has ill-defined reductions (its own comment: "somethings fucky
+# here"), the per-anchor mean-over-coordinates is summed over selected
+# anchors and divided by the same normalizer the variant declares.
+
+
+def _masked_anchor_reduce(
+    per_anchor: jnp.ndarray, select: jnp.ndarray
+) -> jnp.ndarray:
+    """sum(per_anchor over selected anchors) / max(1, #selected)."""
+    sel = select.astype(per_anchor.dtype)
+    return jnp.sum(per_anchor * sel) / jnp.maximum(jnp.sum(sel), 1.0)
+
+
+def cross_loss(
+    labels_with_state: jnp.ndarray,
+    logits: jnp.ndarray,
+    weight: float = 50.0,
+) -> jnp.ndarray:
+    """Weighted categorical cross-entropy over non-ignored anchors
+    (reference cross, losses.py:120-144; normalizer = #non-ignored)."""
+    logits = logits.astype(jnp.float32)
+    labels_with_state = labels_with_state.astype(jnp.float32)
+    labels = labels_with_state[..., :-1]
+    state = labels_with_state[..., -1]
+    ce = -jnp.sum(labels * jax.nn.log_softmax(logits, axis=-1), axis=-1)
+    return weight * _masked_anchor_reduce(ce, state != -1.0)
+
+
+def smooth_l1_pose_loss(
+    targets_with_state: jnp.ndarray, pred: jnp.ndarray, sigma: float = 3.0
+) -> jnp.ndarray:
+    """smooth_l1 scaled by 0.1 (reference smooth_l1_pose, losses.py:198-246)."""
+    return smooth_l1_loss(targets_with_state, pred, sigma=sigma, weight=0.1)
+
+
+def _weighted_elementwise(
+    targets_with_state: jnp.ndarray,
+    pred: jnp.ndarray,
+    per_coord,
+    weight: float,
+) -> jnp.ndarray:
+    pred = pred.astype(jnp.float32)
+    targets_with_state = targets_with_state.astype(jnp.float32)
+    target = targets_with_state[..., :-1]
+    state = targets_with_state[..., -1]
+    per_anchor = jnp.mean(per_coord(pred, target), axis=-1)
+    return weight * _masked_anchor_reduce(per_anchor, state == 1.0)
+
+
+def weighted_mse_loss(
+    targets_with_state: jnp.ndarray, pred: jnp.ndarray, weight: float = 60.0
+) -> jnp.ndarray:
+    """Positive-anchor MSE (reference weighted_mse, losses.py:249-270)."""
+    return _weighted_elementwise(
+        targets_with_state, pred, lambda p, t: (p - t) ** 2, weight
+    )
+
+
+def weighted_l1_loss(
+    targets_with_state: jnp.ndarray, pred: jnp.ndarray, weight: float = 1.6
+) -> jnp.ndarray:
+    """Positive-anchor L1 (reference weighted_l1, losses.py:273-294)."""
+    return _weighted_elementwise(
+        targets_with_state, pred, lambda p, t: jnp.abs(p - t), weight
+    )
+
+
+def weighted_msle_loss(
+    targets_with_state: jnp.ndarray, pred: jnp.ndarray, weight: float = 5.0
+) -> jnp.ndarray:
+    """Positive-anchor mean-squared-log error (reference weighted_msle,
+    losses.py:297-318). log1p is clamped at -1 + eps like keras MSLE."""
+    def msle(p, t):
+        lp = jnp.log1p(jnp.maximum(p, -1.0 + 1e-7))
+        lt = jnp.log1p(jnp.maximum(t, -1.0 + 1e-7))
+        return (lp - lt) ** 2
+
+    return _weighted_elementwise(targets_with_state, pred, msle, weight)
+
+
+def smooth_l1_xy_loss(
+    targets_with_state: jnp.ndarray,
+    pred: jnp.ndarray,
+    sigma: float = 3.0,
+    weight: float = 0.1,
+) -> jnp.ndarray:
+    """smooth_l1 with a 0.1 inner weight (reference smooth_l1_xy,
+    losses.py:411-441 — identical math to smooth_l1_pose, kept as a
+    distinct name to mirror the reference surface)."""
+    return smooth_l1_loss(targets_with_state, pred, sigma=sigma, weight=weight)
+
+
 def total_loss(
     outputs: dict[str, jnp.ndarray],
     targets: dict[str, jnp.ndarray],

@@ -154,3 +154,69 @@ def test_total_loss_composition(rng):
         float(parts["loss_box3d"] + parts["loss_cls"] + parts["loss_mask"]), rel=1e-6
     )
     assert float(total) > 0
+
+
+# --- research loss variants (reference dead-code surface, losses.py:120-318,
+# 411-441) -----------------------------------------------------------------
+
+
+def test_cross_loss_matches_numpy(rng):
+    from pyrapose_tpu.losses import cross_loss
+
+    B, N, C = 2, 40, 3
+    logits = rng.normal(size=(B, N, C)).astype(np.float32)
+    labels = np.zeros((B, N, C + 1), np.float32)
+    onehot = rng.integers(0, C, size=(B, N))
+    labels[np.arange(B)[:, None], np.arange(N)[None], onehot] = 1.0
+    state = rng.choice([-1.0, 0.0, 1.0], size=(B, N)).astype(np.float32)
+    labels[..., -1] = state
+
+    # numpy: softmax CE over non-ignored anchors / #non-ignored
+    ex = np.exp(logits - logits.max(-1, keepdims=True))
+    logp = np.log(ex / ex.sum(-1, keepdims=True))
+    ce = -(labels[..., :-1] * logp).sum(-1)
+    keep = state != -1
+    want = 50.0 * ce[keep].sum() / max(keep.sum(), 1)
+
+    got = float(cross_loss(jnp.asarray(labels), jnp.asarray(logits)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_weighted_variants_positive_masking(rng):
+    from pyrapose_tpu.losses import (
+        smooth_l1_pose_loss,
+        smooth_l1_xy_loss,
+        weighted_l1_loss,
+        weighted_mse_loss,
+        weighted_msle_loss,
+    )
+
+    B, N = 1, 20
+    pred = rng.normal(size=(B, N, 16)).astype(np.float32)
+    tgt = np.zeros((B, N, 17), np.float32)
+    tgt[..., :-1] = rng.normal(size=(B, N, 16)).astype(np.float32)
+    tgt[0, :4, -1] = 1.0  # 4 positives
+    p, t = jnp.asarray(pred), jnp.asarray(tgt)
+
+    d = pred[0, :4] - tgt[0, :4, :-1]
+    assert float(weighted_mse_loss(t, p)) == pytest.approx(
+        60.0 * (d**2).mean(-1).sum() / 4, rel=1e-5
+    )
+    assert float(weighted_l1_loss(t, p)) == pytest.approx(
+        1.6 * np.abs(d).mean(-1).sum() / 4, rel=1e-5
+    )
+    lp = np.log1p(np.maximum(pred[0, :4], -1 + 1e-7))
+    lt = np.log1p(np.maximum(tgt[0, :4, :-1], -1 + 1e-7))
+    assert float(weighted_msle_loss(t, p)) == pytest.approx(
+        5.0 * ((lp - lt) ** 2).mean(-1).sum() / 4, rel=1e-5
+    )
+    # pose/xy variants are 0.1x the plain smooth_l1
+    assert float(smooth_l1_pose_loss(t, p)) == pytest.approx(
+        0.1 * float(smooth_l1_loss(t, p)), rel=1e-6
+    )
+    assert float(smooth_l1_xy_loss(t, p)) == pytest.approx(
+        float(smooth_l1_pose_loss(t, p)), rel=1e-6
+    )
+    # no positives -> zero loss, no NaN
+    tgt[..., -1] = 0.0
+    assert float(weighted_mse_loss(jnp.asarray(tgt), p)) == 0.0
