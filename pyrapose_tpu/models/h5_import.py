@@ -20,13 +20,14 @@ Keras Conv2D kernels are HWIO like flax — no transposes; BatchNorm maps
 (gamma, beta) -> params (scale, bias) and (moving_mean, moving_variance) ->
 batch_stats.
 
-Residual risk (documented, not fixable in this environment): the mapping is
-validated against synthetically written h5 fixtures that follow keras'
-documented file layout (tests/test_h5_import.py) — no real fizyr/PyraPose
-checkpoint is published (reference README.md:25), so a checkpoint written by
-an older keras with a different auto-naming scheme could still mis-map the
-auto-named PFPN convs. The shape-filtered topological matching plus the
-named P3/P4/P5 anchors make that unlikely; verify imported checkpoints with
+Validation: beyond the hand-written fixtures (tests/test_h5_import.py), the
+mapping is checked against a reference-shaped checkpoint written by REAL
+keras through its legacy HDF5 writer — auto-name counters, topological
+layer_names order, nested sub-model weight paths and BN naming all come
+from keras itself (tests/test_h5_import_keras.py). Residual risk is down
+to keras-2.3-era naming drift: no real fizyr/PyraPose checkpoint is
+published (reference README.md:25), so a file written by that exact
+version could still differ; verify imported checkpoints with
 `pyrapose evaluate ... model.h5` on a few frames before trusting them.
 """
 
