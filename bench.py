@@ -322,6 +322,33 @@ def main() -> None:
             extras["train_img_s_per_chip_cached"] = round(
                 train_batch / dt_cached / max(use, 1), 2
             )
+
+            # --- frozen-backbone fine-tune throughput -----------------------
+            # the reference's recommended workflow (--freeze-backbone,
+            # bin/train.py:72-74): stop_gradient prunes the whole backbone
+            # backward, so this is the FLOP-reduction lever when 250+
+            # img/s/chip is needed at 480x640 (the full fwd+bwd step runs
+            # at the HBM/MXU roofline already — see ARCHITECTURE.md)
+            state_f = create_train_state(
+                jax.random.PRNGKey(0), tconfig, image_shape=(480, 640),
+                freeze_backbone=True,
+            )
+            step_f = make_fused_train_step(
+                mesh, tspec.corners3d, pipe, donate=True
+            )
+            imgs_j = jnp.asarray(imgs_u8)
+            gt_j = jax.tree_util.tree_map(jnp.asarray, gt)
+            for _ in range(2):
+                state_f, parts = step_f(state_f, imgs_j, gt_j)
+            jax.block_until_ready(parts["loss"])
+            t0 = time.perf_counter()
+            for _ in range(t_iters):
+                state_f, parts = step_f(state_f, imgs_j, gt_j)
+            jax.block_until_ready(parts["loss"])
+            dt_frozen = (time.perf_counter() - t0) / t_iters
+            extras["train_img_s_per_chip_frozen_backbone"] = round(
+                train_batch / dt_frozen / max(use, 1), 2
+            )
         except Exception as exc:  # keep the headline alive
             extras["train_error"] = str(exc)[:200]
 
