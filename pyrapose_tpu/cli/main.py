@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
         "weights; training from scratch wants them trainable)",
     )
     t.add_argument(
+        "--train-bn", action="store_true",
+        help="LIVE BatchNorm: normalize by batch statistics and update the "
+        "running averages (sync-BN across the DP mesh via GSPMD). The "
+        "reference always freezes BN because it fine-tunes ImageNet "
+        "weights (models/resnet.py:87); training from scratch (no "
+        "--imagenet-weights) wants this on",
+    )
+    t.add_argument(
         "--remat", action="store_true",
         help="block-level rematerialization: ~3x less activation memory per "
              "backbone block for ~1 extra block forward in the backward "

@@ -189,6 +189,8 @@ def run_train(args) -> int:
     model_kwargs = dict(num_classes=spec.num_classes, backbone=args.backbone)
     if getattr(args, "remat", False):
         model_kwargs["remat"] = True
+    if getattr(args, "train_bn", False):
+        model_kwargs["frozen_bn"] = False
     pipe_kwargs = dict(image_shape=image_shape, num_classes=spec.num_classes)
     if anchors is not None:
         model_kwargs["anchors"] = anchors
@@ -487,9 +489,11 @@ def run_train(args) -> int:
             watchdog.beat()
             scalars["val_recall"] = report["mean_recall"]
             scalars["val_detection_rate"] = report["mean_detection_rate"]
+            scalars["val_median_add_rel"] = report["median_add_rel"]
             print(
                 f"  val: recall {report['mean_recall']:.4f} "
-                f"det {report['mean_detection_rate']:.4f}"
+                f"det {report['mean_detection_rate']:.4f} "
+                f"median ADD/d {report['median_add_rel']:.3f}"
             )
         if primary:
             logger.log(**scalars)

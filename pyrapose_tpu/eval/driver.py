@@ -62,6 +62,10 @@ class EvalAccumulator:
         self.true_poses = z()
         self.false_poses = z()
         self.true_dets = z()
+        # matched-instance ADD(-S)/diameter ratios: a CONTINUOUS progress
+        # signal (median distance to the 0.1d bar) that moves long before
+        # the binary recall does — used by the in-training eval logs
+        self.add_rel: list[float] = []
 
     def report(self) -> dict:
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -82,6 +86,9 @@ class EvalAccumulator:
             "mean_recall": float(recall[present].sum() / denom),
             "mean_precision": float(precision[present].sum() / denom),
             "mean_detection_rate": float(detections[present].sum() / denom),
+            "median_add_rel": (
+                float(np.median(self.add_rel)) if self.add_rel else float("nan")
+            ),
         }
 
     def format_report(self, spec: DatasetSpec) -> str:
@@ -361,6 +368,7 @@ def evaluate_dataset(
                     used_e.add(i)
                     used_g.add(j)
                     acc.true_dets[c] += 1
+                    acc.add_rel.append(float(table[i, j]) / float(diameters[c]))
                     if table[i, j] < thresh:
                         acc.true_poses[c] += 1
                     else:

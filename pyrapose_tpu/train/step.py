@@ -47,6 +47,14 @@ class TrainState(flax.struct.PyTreeNode):
     # static: freeze the ENTIRE backbone (reference --freeze-backbone,
     # bin/train.py:72-74 — on top of the always-frozen first ~40 layers)
     freeze_backbone: bool = flax.struct.field(pytree_node=False, default=False)
+    # static: LIVE BatchNorm (frozen_bn=False): normalize by batch stats and
+    # update the running averages each step. The reference always trains
+    # with freeze_bn=True because it fine-tunes ImageNet weights
+    # (models/resnet.py:87); from-scratch training needs working BN.
+    # Under DP sharding the batch mean/var reduce over the GLOBAL batch
+    # (GSPMD turns the batch-axis mean into an all-reduce) — sync-BN for
+    # free, no per-replica drift.
+    train_bn: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
@@ -137,6 +145,7 @@ def create_train_state(
         tx=tx,
         freeze_stem=freeze_backbone_stem,
         freeze_backbone=freeze_backbone,
+        train_bn=not config.frozen_bn,
     )
 
 
@@ -185,15 +194,28 @@ def train_step(
         variables = {"params": params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        outputs = state.apply_fn(variables, batch["images"], train=True)
+        if state.train_bn:
+            outputs, mutated = state.apply_fn(
+                variables, batch["images"], train=True,
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            outputs = state.apply_fn(variables, batch["images"], train=True)
+            new_stats = state.batch_stats
         loss, parts = total_loss(outputs, batch)
         loss = loss + _box3d_head_l2(params)
-        return loss, parts
+        return loss, (parts, new_stats)
 
-    (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    (loss, (parts, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
     updates, opt_state = state.tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
-    new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
+    new_state = state.replace(
+        step=state.step + 1, params=params, opt_state=opt_state,
+        batch_stats=new_stats,
+    )
     parts = dict(parts)
     parts["grad_norm"] = optax.global_norm(grads)
     return new_state, parts

@@ -277,3 +277,42 @@ class TestFreezeStopGradient:
         # (from-scratch training) lifts it
         assert 'freeze_backbone_stem=not getattr(args, "no_freeze_stem"' in src
         assert "not args.freeze_backbone" not in src
+
+
+class TestLiveBatchNorm:
+    """--train-bn: frozen_bn=False trains with live (sync) BatchNorm."""
+
+    def test_batch_stats_update_and_loss_finite(self, rng):
+        cfg = ModelConfig(num_classes=C, compute_dtype="float32",
+                          frozen_bn=False)
+        s = create_train_state(jax.random.PRNGKey(0), cfg, image_shape=(H, W))
+        assert s.train_bn
+        batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+        step = jax.jit(train_step)
+        stats0 = jax.tree_util.tree_map(np.asarray, s.batch_stats)
+        s2, parts = step(s, batch)
+        assert np.isfinite(float(parts["loss"]))
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+            s2.batch_stats, stats0,
+        )
+        assert max(jax.tree_util.tree_leaves(moved)) > 0, (
+            "live BN did not update running statistics"
+        )
+
+    def test_frozen_default_keeps_stats(self, state, rng):
+        batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+        s2, _ = jax.jit(train_step)(state, batch)
+        same = jax.tree_util.tree_map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            s2.batch_stats, state.batch_stats,
+        )
+        assert all(jax.tree_util.tree_leaves(same))
+
+    def test_cli_flag_wires_frozen_bn_off(self):
+        from pyrapose_tpu.cli.main import build_parser
+
+        args = build_parser().parse_args(
+            ["train", "synthetic", "--train-bn"]
+        )
+        assert args.train_bn
