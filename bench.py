@@ -173,6 +173,27 @@ def main() -> None:
     )
     img_s_chip = batch / dt_full / max(n_chips, 1)
 
+    # --- int8 PTQ conv stack (models/quantize.py) ----------------------------
+    try:
+        from pyrapose_tpu.models.quantize import (
+            quantize_variables,
+            strip_quantized_kernels,
+        )
+
+        qtable = quantize_variables(variables)
+        qvars = strip_quantized_kernels(variables, qtable)
+        infer_q = build_inference_fn(
+            model, spec.corners3d, (480, 640), qtable=qtable
+        )
+        dt_q = _time(
+            infer_q, (qvars, images, cam), iters, warmup,
+            lambda out: (out[0].rot, out[1]["scores"]),
+        )
+        extras_int8 = round(batch / dt_q / max(n_chips, 1), 2)
+    except Exception as exc:
+        extras_int8 = None
+        extras_int8_err = str(exc)[:200]
+
     # --- network + decode only (stage breakdown) ----------------------------
     dt_net = _time(
         net_only, (variables, images, cam), iters, warmup,
@@ -190,6 +211,10 @@ def main() -> None:
         # sandbox's core count it is a lower bound, not the TPU-VM number
         "host_cores": os.cpu_count(),
     }
+    if extras_int8 is not None:
+        extras["img_s_per_chip_int8"] = extras_int8
+    else:
+        extras["int8_error"] = extras_int8_err
 
     # --- forward FLOPs + MFU -------------------------------------------------
     try:

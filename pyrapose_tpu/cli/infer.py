@@ -48,8 +48,15 @@ def run_infer(args) -> int:
 
         mesh = create_mesh()
         print(f"devices: {jax.device_count()} (batch-sharded inference)")
+    qtable = None
+    if getattr(args, "int8", False):
+        from pyrapose_tpu.models.quantize import quantize_variables
+
+        qtable = quantize_variables(variables)
+        print(f"int8: quantized {len(qtable)} convs")
     infer = build_inference_fn(
-        model, spec.corners3d, spec.image_shape, ransac, mesh=mesh
+        model, spec.corners3d, spec.image_shape, ransac, mesh=mesh,
+        qtable=qtable,
     )
 
     paths = sorted(

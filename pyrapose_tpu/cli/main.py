@@ -220,6 +220,13 @@ def build_parser() -> argparse.ArgumentParser:
         "T-LESS; 1 = reference per-class protocol)",
     )
     e.add_argument(
+        "--int8",
+        action="store_true",
+        help="run the conv stack int8-quantized (PTQ, per-channel weights "
+        "+ dynamic per-tensor activations; 2x MXU rate on v5e+, "
+        "models/quantize.py). Head output convs stay full precision",
+    )
+    e.add_argument(
         "--exact-topk",
         action="store_true",
         help="exact top-k vote gather instead of approx_max_k "
@@ -238,6 +245,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--batch-size", type=int, default=8)
     i.add_argument("--image-min-side", type=int, default=480)
     i.add_argument("--image-max-side", type=int, default=640)
+    i.add_argument(
+        "--int8", action="store_true",
+        help="int8-quantized conv stack (PTQ; see evaluate --int8)",
+    )
     i.add_argument(
         "--save-images",
         default=None,
@@ -308,6 +319,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--port", type=int, default=8321)
     s.add_argument("--score-threshold", type=float, default=0.5)
     s.add_argument("--icp", action="store_true", help="depth-based ICP refine")
+    s.add_argument(
+        "--int8", action="store_true",
+        help="int8-quantized conv stack (PTQ; see evaluate --int8)",
+    )
     s.add_argument("--image-min-side", type=int, default=480)
     s.add_argument("--image-max-side", type=int, default=640)
     return p

@@ -19,6 +19,7 @@ def run_serve(args) -> int:
         backbone=args.backbone,
         score_threshold=args.score_threshold,
         icp=args.icp,
+        int8=getattr(args, "int8", False),
         image_shape=(
             getattr(args, "image_min_side", 480),
             getattr(args, "image_max_side", 640),

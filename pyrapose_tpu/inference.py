@@ -37,6 +37,7 @@ def build_inference_fn(
     ransac: RansacConfig = RansacConfig(),
     with_pose: bool = True,
     mesh=None,
+    qtable=None,
 ):
     """Returns jit(fn(variables, images_u8, cam) -> (PoseResult, aux)).
 
@@ -50,6 +51,8 @@ def build_inference_fn(
             per-image stage including the Pallas refine kernel runs locally
             per device; zero collectives — serving-style throughput scaling
             over ICI). Batch must divide the data-axis size.
+        qtable: optional int8 table from models.quantize.quantize_variables —
+            runs the conv stack on the int8 MXU path (models/quantize.py).
     """
     from pyrapose_tpu.pose.ransac import precompute_class_solvers
 
@@ -60,7 +63,12 @@ def build_inference_fn(
 
     def infer(variables: Any, images_u8: jnp.ndarray, cam: jnp.ndarray):
         images = preprocess_images(images_u8)
-        out = model.apply(variables, images, train=False)
+        if qtable is not None:
+            from pyrapose_tpu.models.quantize import quantized_apply
+
+            out = quantized_apply(model, variables, qtable, images, train=False)
+        else:
+            out = model.apply(variables, images, train=False)
         boxes3d = decode_box3d(anchors[None], out["box3d"])
         scores = jax.nn.sigmoid(out["cls_logits"])
         masks = jax.nn.sigmoid(out["mask_logits"])

@@ -37,6 +37,7 @@ class ServingConfig:
     icp_max_corr_dist: float = 0.02
     icp_min_mask_area: int = 3000  # reference gate (pyrapose_node.py:662)
     depth_stride: int = 4
+    int8: bool = False  # PTQ int8 conv stack (models/quantize.py)
 
 
 class PoseEstimator:
@@ -55,11 +56,17 @@ class PoseEstimator:
         self.variables = variables
         mc = model_config or ModelConfig(num_classes=spec.num_classes)
         self.model = PyraPose(config=mc)
+        qtable = None
+        if config.int8:
+            from pyrapose_tpu.models.quantize import quantize_variables
+
+            qtable = quantize_variables(variables)
         self.infer = build_inference_fn(
             self.model,
             spec.corners3d,
             spec.image_shape,
             RansacConfig(score_threshold=config.score_threshold),
+            qtable=qtable,
         )
         if config.icp and model_points is None:
             # Refining against the 8 virtual box corners corrupts poses

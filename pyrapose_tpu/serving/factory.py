@@ -21,6 +21,7 @@ def estimator_from_checkpoint(
     score_threshold: float = 0.5,
     icp: bool = False,
     image_shape: tuple[int, int] = (480, 640),
+    int8: bool = False,
 ) -> PoseEstimator:
     """Load a checkpoint (or random weights, with a warning) into a ready
     PoseEstimator; resolves mesh model points when ICP is requested."""
@@ -72,7 +73,9 @@ def estimator_from_checkpoint(
     return PoseEstimator(
         spec,
         variables,
-        ServingConfig(score_threshold=score_threshold, icp=use_icp),
+        ServingConfig(
+            score_threshold=score_threshold, icp=use_icp, int8=int8
+        ),
         model_config=config,
         model_points=model_points,
     )
