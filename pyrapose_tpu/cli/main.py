@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
         "weights; training from scratch wants them trainable)",
     )
     t.add_argument(
+        "--warmup-epochs", type=int, default=0, metavar="N",
+        help="linear LR warmup over the first N epochs (from-scratch runs "
+        "at higher LR; the reference's 1e-5 fine-tune needs none)",
+    )
+    t.add_argument(
         "--train-bn", action="store_true",
         help="LIVE BatchNorm: normalize by batch statistics and update the "
         "running averages (sync-BN across the DP mesh via GSPMD). The "

@@ -393,8 +393,18 @@ def run_train(args) -> int:
     global_step = int(state.step)
     start_epoch = min(global_step // steps_per_epoch, args.epochs)
     done = False
+    warmup = max(getattr(args, "warmup_epochs", 0), 0)
 
     for epoch in range(start_epoch, args.epochs):
+        # linear per-epoch LR warmup (from-scratch runs at higher LR need
+        # it; fine-tuning at the reference's 1e-5 does not). Per-epoch
+        # granularity keeps the warmup resumable through the (seed, epoch)
+        # schedule keying — epochs are sub-minute in cached mode.
+        if warmup and epoch < warmup:
+            set_lr = args.lr * (epoch + 1) / warmup
+            if abs(get_learning_rate(state) - set_lr) > 1e-12:
+                state = set_learning_rate(state, set_lr)
+                print(f"warmup: lr {set_lr:.2e} ({epoch + 1}/{warmup})")
         schedule = _epoch_schedule(
             len(dataset), args.batch_size, steps_per_epoch, epoch, args.seed
         )

@@ -348,3 +348,12 @@ class TestEvalRunnerCaching:
         b2 = runner.batches()
         assert b1 is b2
         assert len(calls) == 2  # 4 samples / batch 2, decoded exactly once
+
+
+def test_warmup_epochs_flag_parses():
+    from pyrapose_tpu.cli.main import build_parser
+
+    args = build_parser().parse_args(
+        ["train", "synthetic", "--warmup-epochs", "3", "--lr", "3e-4"]
+    )
+    assert args.warmup_epochs == 3 and args.lr == 3e-4
