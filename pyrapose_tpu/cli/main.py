@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
         "weights; training from scratch wants them trainable)",
     )
     t.add_argument(
+        "--head-l2", type=float, default=1e-3, metavar="C",
+        help="L2 coefficient on the 3D-head kernels (reference "
+        "kernel_regularizer=l2(1e-3), retinanet.py:108). Set 0 for "
+        "from-scratch training: under Adam at higher LR the regularizer "
+        "gradient dominates the immature data gradient and zeroes the "
+        "regression head (train/step.py TrainState.head_l2)",
+    )
+    t.add_argument(
         "--warmup-epochs", type=int, default=0, metavar="N",
         help="linear LR warmup over the first N epochs (from-scratch runs "
         "at higher LR; the reference's 1e-5 fine-tune needs none)",

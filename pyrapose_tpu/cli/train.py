@@ -263,6 +263,7 @@ def run_train(args) -> int:
         # --no-freeze-stem unfreezes everything (from-scratch training)
         freeze_backbone_stem=not getattr(args, "no_freeze_stem", False),
         freeze_backbone=args.freeze_backbone,
+        head_l2=getattr(args, "head_l2", 1e-3),
     )
     if getattr(args, "imagenet_weights", False) or getattr(
         args, "pretrained_file", None

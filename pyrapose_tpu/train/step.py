@@ -47,6 +47,15 @@ class TrainState(flax.struct.PyTreeNode):
     # static: freeze the ENTIRE backbone (reference --freeze-backbone,
     # bin/train.py:72-74 — on top of the always-frozen first ~40 layers)
     freeze_backbone: bool = flax.struct.field(pytree_node=False, default=False)
+    # static: L2 coefficient on the 3D-head kernels (reference
+    # kernel_regularizer=l2(1e-3), retinanet.py:108). At the reference's
+    # fine-tune setting (ImageNet features, lr 1e-5) the data gradient
+    # dominates; from scratch at higher LR the L2 gradient dominates
+    # Adam's per-weight normalized update and CRUSHES the head to zero
+    # (measured: tower kernel norms 15.4 -> 1.2 over 11k steps while the
+    # unregularized cls head grew 3x — regression paralyzed at predicting
+    # 0). From-scratch recipes must set --head-l2 0.
+    head_l2: float = flax.struct.field(pytree_node=False, default=1e-3)
     # static: LIVE BatchNorm (frozen_bn=False): normalize by batch stats and
     # update the running averages each step. The reference always trains
     # with freeze_bn=True because it fine-tunes ImageNet weights
@@ -55,6 +64,9 @@ class TrainState(flax.struct.PyTreeNode):
     # (GSPMD turns the batch-axis mean into an all-reduce) — sync-BN for
     # free, no per-replica drift.
     train_bn: bool = flax.struct.field(pytree_node=False, default=False)
+
+
+HEAD_L2 = 1e-3  # reference kernel_regularizer on the 3D head (retinanet.py:108)
 
 
 def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
@@ -127,6 +139,7 @@ def create_train_state(
     clipnorm: float = 1e-3,
     freeze_backbone_stem: bool = True,
     freeze_backbone: bool = False,
+    head_l2: float = HEAD_L2,
 ) -> TrainState:
     model = PyraPose(config=config)
     dummy = jnp.zeros((1, image_shape[0], image_shape[1], 3), jnp.float32)
@@ -145,6 +158,7 @@ def create_train_state(
         tx=tx,
         freeze_stem=freeze_backbone_stem,
         freeze_backbone=freeze_backbone,
+        head_l2=head_l2,
         train_bn=not config.frozen_bn,
     )
 
@@ -163,16 +177,13 @@ def get_learning_rate(state: TrainState) -> float:
     return float(state.opt_state[1].hyperparams["learning_rate"])
 
 
-HEAD_L2 = 1e-3  # reference kernel_regularizer on the 3D head (retinanet.py:108)
-
-
-def _box3d_head_l2(params: Any) -> jnp.ndarray:
+def _box3d_head_l2(params: Any, coeff: float = HEAD_L2) -> jnp.ndarray:
     flat = flax.traverse_util.flatten_dict(params)
     acc = 0.0
     for path, leaf in flat.items():
         if path[0] == "box3d_head" and path[-1] == "kernel":
             acc = acc + jnp.sum(leaf.astype(jnp.float32) ** 2)
-    return HEAD_L2 * acc
+    return coeff * acc
 
 
 def train_step(
@@ -204,7 +215,8 @@ def train_step(
             outputs = state.apply_fn(variables, batch["images"], train=True)
             new_stats = state.batch_stats
         loss, parts = total_loss(outputs, batch)
-        loss = loss + _box3d_head_l2(params)
+        if state.head_l2:
+            loss = loss + _box3d_head_l2(params, state.head_l2)
         return loss, (parts, new_stats)
 
     (loss, (parts, new_stats)), grads = jax.value_and_grad(

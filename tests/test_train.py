@@ -316,3 +316,45 @@ class TestLiveBatchNorm:
             ["train", "synthetic", "--train-bn"]
         )
         assert args.train_bn
+
+
+class TestHeadL2:
+    def test_zero_coefficient_removes_term(self, rng):
+        s1 = create_train_state(jax.random.PRNGKey(0), CFG, image_shape=(H, W))
+        s0 = create_train_state(jax.random.PRNGKey(0), CFG, image_shape=(H, W),
+                                head_l2=0.0)
+        batch = {k: jnp.asarray(v) for k, v in _fake_batch(rng).items()}
+        _, p1 = jax.jit(train_step)(s1, batch)
+        _, p0 = jax.jit(train_step)(s0, batch)
+        # parts exclude the L2 term (it is loss-only), so both agree...
+        assert float(p1["loss"]) == pytest.approx(float(p0["loss"]), rel=1e-6)
+        # ...but the L2 gradient is present only with the coefficient on
+        import flax.traverse_util as tu
+
+        g1 = tu.flatten_dict(s1.params)
+        # after many steps with NO positive regression targets, head_l2>0
+        # shrinks the box tower while head_l2=0 leaves it (the failure mode
+        # that paralyzed from-scratch training)
+        empty = dict(batch)
+        labels = np.asarray(batch["labels"]).copy(); labels[:] = 0
+        reg = np.asarray(batch["regression"]).copy(); reg[:] = 0
+        empty["labels"] = jnp.asarray(labels)
+        empty["regression"] = jnp.asarray(reg)
+        step = jax.jit(train_step)
+        for _ in range(5):
+            s1, _ = step(s1, empty)
+            s0, _ = step(s0, empty)
+        k = ("box3d_head", "tower", "conv0", "kernel")
+        n_init = float(np.linalg.norm(np.asarray(g1[k])))
+        n1 = float(np.linalg.norm(np.asarray(tu.flatten_dict(s1.params)[k])))
+        n0 = float(np.linalg.norm(np.asarray(tu.flatten_dict(s0.params)[k])))
+        assert n1 < n_init  # regularized: shrinking
+        assert abs(n0 - n_init) < abs(n1 - n_init)  # unregularized: stabler
+
+    def test_cli_flag(self):
+        from pyrapose_tpu.cli.main import build_parser
+
+        args = build_parser().parse_args(
+            ["train", "synthetic", "--head-l2", "0"]
+        )
+        assert args.head_l2 == 0.0
