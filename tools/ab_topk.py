@@ -17,6 +17,12 @@ the result in docs/ARCHITECTURE.md (VERDICT round-1 item 8).
 
 from __future__ import annotations
 
+# runnable from anywhere: the package lives next to tools/
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json
@@ -30,10 +36,10 @@ import numpy as np
 def build(args, approx: bool):
     from pyrapose_tpu.inference import RansacConfig, build_inference_fn
     from pyrapose_tpu.models import ModelConfig, PyraPose
-    from pyrapose_tpu.models.h5_import import restore_variables
-    from pyrapose_tpu.data.spec import get_spec
+    from pyrapose_tpu.train.checkpoint import restore_variables
+    from pyrapose_tpu.data.spec import dataset_spec
 
-    spec = get_spec(args.dataset)
+    spec = dataset_spec(args.dataset, args.data_path)
     if args.image_min_side:
         shape = (args.image_min_side, args.image_max_side)
         spec = dataclasses.replace(spec, image_shape=shape)

@@ -12,6 +12,12 @@ Prints one JSON line per config and a final summary line.
 
 from __future__ import annotations
 
+# runnable from anywhere: the package lives next to tools/
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import dataclasses
 import json
