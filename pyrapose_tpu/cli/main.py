@@ -64,6 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
         "regression head (train/step.py TrainState.head_l2)",
     )
     t.add_argument(
+        "--plateau-patience", type=int, default=2, metavar="N",
+        help="ReduceLROnPlateau patience in epochs (reference keras config, "
+        "bin/train.py:144-153). From-scratch runs with heavy augmentation "
+        "have noisy epoch losses — raise this (e.g. 10) so a bounce does "
+        "not trigger a premature 10x LR cut",
+    )
+    t.add_argument(
+        "--plateau-factor", type=float, default=0.1, metavar="F",
+        help="LR multiplier applied when the plateau fires",
+    )
+    t.add_argument(
         "--warmup-epochs", type=int, default=0, metavar="N",
         help="linear LR warmup over the first N epochs (from-scratch runs "
         "at higher LR; the reference's 1e-5 fine-tune needs none)",

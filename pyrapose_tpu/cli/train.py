@@ -329,7 +329,10 @@ def run_train(args) -> int:
     )
     if use_cache and device_aug:
         print("--device-cache: photometric + affine augmentation on device")
-    plateau = ReduceLROnPlateau()
+    plateau = ReduceLROnPlateau(
+        factor=getattr(args, "plateau_factor", 0.1),
+        patience=getattr(args, "plateau_patience", 2),
+    )
     logger = MetricsLogger(
         os.path.join(args.snapshot_path, "metrics.jsonl")
         if args.snapshot_path
@@ -510,9 +513,13 @@ def run_train(args) -> int:
             logger.log(**scalars)
         # the loss is replicated, so every process computes the same plateau
         # decision without communicating
-        new_lr = plateau.update(mean_loss, lr)
-        if new_lr != lr:
-            state = set_learning_rate(state, new_lr)
+        # plateau tracking starts AFTER warmup: the fast improvement at
+        # tiny warmup LRs sets a 'best' the full-LR epochs then look
+        # noisy against, triggering a spurious 10x cut
+        if epoch >= warmup:
+            new_lr = plateau.update(mean_loss, lr)
+            if new_lr != lr:
+                state = set_learning_rate(state, new_lr)
         # end-of-epoch save: device_get of the full train state costs real
         # wall time on remote-attached TPUs (~0.5 GB for resnet50+Adam), so
         # fast cached epochs save every --save-epochs instead of every epoch
