@@ -148,6 +148,14 @@ def build_parser() -> argparse.ArgumentParser:
         "host-side affine warp",
     )
     t.add_argument(
+        "--decoded-store", default=None, metavar="PREFIX",
+        help="mmap'd pre-decoded frame store (built on first use): PNG "
+        "decode is paid once ever, any set size that fits on disk; "
+        "requires --device-augment. The middle ground between the "
+        "HBM --device-cache (fastest, capped by device memory) and the "
+        "decoding host loader",
+    )
+    t.add_argument(
         "--cache-images", type=float, default=0.0, metavar="GB",
         help="decoded-frame RAM cache: after the first epoch, PNG decode "
         "cost disappears from the host loader (0 = off; the reference "

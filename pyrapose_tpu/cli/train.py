@@ -47,6 +47,27 @@ from pyrapose_tpu.train.checkpoint import (
 
 
 def _build_dataset(args, spec, augment, set_name="train"):
+    store = getattr(args, "decoded_store", None)
+    if store and set_name == "train" and args.dataset != "synthetic":
+        # mmap'd pre-decoded frames (data/decoded_store.py): decode paid
+        # once ever; requires on-device augmentation (frames are the
+        # deterministic letterboxed pixels)
+        from pyrapose_tpu.data.datasets import create_dataset
+        from pyrapose_tpu.data.decoded_store import DecodedStore, build_store
+
+        if not getattr(args, "device_augment", False) and not args.no_augment:
+            raise ValueError(
+                "--decoded-store requires --device-augment (or --no-augment):"
+                " the store holds deterministic frames"
+            )
+        if not DecodedStore.exists(store):
+            print(f"decoded-store: building {store} (one-time decode)...")
+            base = create_dataset(
+                args.dataset, args.data_path, set_name=set_name, spec=spec,
+                augment=None, seed=args.seed,
+            )
+            build_store(base, store, num_workers=max(args.workers, 2))
+        return DecodedStore(store)
     if args.dataset == "synthetic":
         from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
 
