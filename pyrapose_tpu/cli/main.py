@@ -156,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
         "decoding host loader",
     )
     t.add_argument(
+        "--device-cache-frames", type=int, default=0, metavar="N",
+        help="with --device-cache: stage at most N frames (seed-keyed "
+        "deterministic subset) — for sets bigger than HBM (~1 GB per 1k "
+        "480x640 frames)",
+    )
+    t.add_argument(
         "--cache-images", type=float, default=0.0, metavar="GB",
         help="decoded-frame RAM cache: after the first epoch, PNG decode "
         "cost disappears from the host loader (0 = off; the reference "

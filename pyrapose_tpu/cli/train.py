@@ -301,15 +301,30 @@ def run_train(args) -> int:
         )
         print("backbone initialized from ImageNet weights")
     snapshot = args.snapshot
-    if not snapshot and getattr(args, "auto_resume", False):
+    if getattr(args, "auto_resume", False):
         # preemption recovery: restart with identical args picks up where
         # the previous incarnation saved (extends the reference's manual
-        # --snapshot restart, bin/train.py:291,336-343)
+        # --snapshot restart, bin/train.py:291,336-343). An explicit
+        # --snapshot (warm start) is only the starting point: once this
+        # run has saved NEWER checkpoints into --snapshot-path, restarts
+        # must prefer those — and a stale/typo'd --snapshot must not put a
+        # supervised run into a crash loop (restore raced a rotation).
+        import os as _os
+
         from pyrapose_tpu.train.checkpoint import latest_checkpoint
 
-        snapshot = latest_checkpoint(args.snapshot_path)
+        latest = latest_checkpoint(args.snapshot_path)
+        if snapshot and not _os.path.exists(snapshot):
+            print(f"WARNING: --snapshot {snapshot} not found; "
+                  f"auto-resume falls back to {latest or 'fresh init'}")
+            snapshot = latest
+        elif latest and (
+            not snapshot
+            or _os.path.getmtime(latest) > _os.path.getmtime(snapshot)
+        ):
+            snapshot = latest
         if snapshot:
-            print(f"--auto-resume: found {snapshot}")
+            print(f"--auto-resume: using {snapshot}")
     if snapshot:
         state = restore_checkpoint(state, snapshot)
         print(f"resumed from {snapshot} at step {int(state.step)}")
@@ -348,6 +363,19 @@ def run_train(args) -> int:
     dataset = _build_dataset(
         args, spec, augment=not args.no_augment and not use_cache
     )
+    cache_frames = getattr(args, "device_cache_frames", 0)
+    if use_cache and cache_frames and len(dataset) > cache_frames:
+        from pyrapose_tpu.data.device_cache import SubsetDataset
+
+        pick = np.random.default_rng(args.seed).choice(
+            len(dataset), cache_frames, replace=False
+        )
+        pick.sort()
+        dataset = SubsetDataset(dataset, pick)
+        print(
+            f"--device-cache-frames: staging a seed-{args.seed} subset of "
+            f"{cache_frames}/{len(dataset.base)} frames"
+        )
     if use_cache and device_aug:
         print("--device-cache: photometric + affine augmentation on device")
     plateau = ReduceLROnPlateau(

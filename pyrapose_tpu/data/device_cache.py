@@ -34,6 +34,25 @@ from pyrapose_tpu.data.pipeline import GroundTruth
 from pyrapose_tpu.data.prefetch import HostPrefetcher
 
 
+class SubsetDataset:
+    """First-class subset view for capping what DeviceCache stages.
+
+    Useful when the training set exceeds HBM (--device-cache-frames): a
+    deterministic seed-keyed sample of the frames is staged; the rest of
+    the set remains available to a later run (or a host-fed one)."""
+
+    def __init__(self, base, indices):
+        self.base = base
+        self.indices = np.asarray(indices, np.int64)
+        self.augment = getattr(base, "augment", None)
+
+    def __len__(self) -> int:
+        return int(self.indices.shape[0])
+
+    def batch(self, indices, **kw):
+        return self.base.batch(list(self.indices[np.asarray(indices)]), **kw)
+
+
 class DeviceCache:
     """All samples of a dataset staged to device memory.
 

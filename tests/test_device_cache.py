@@ -178,3 +178,21 @@ class TestDiskCache:
         (tmp_path / "device_cache.npz").write_bytes(b"not an npz")
         c = DeviceCache.build(_dataset(n=4), verbose=False, disk_cache=path)
         assert len(c) == 4
+
+
+def test_subset_dataset_remaps_indices():
+    from pyrapose_tpu.data.device_cache import SubsetDataset
+
+    class Base:
+        augment = None
+
+        def __len__(self):
+            return 10
+
+        def batch(self, indices):
+            return list(indices)
+
+    sub = SubsetDataset(Base(), [7, 2, 9])
+    assert len(sub) == 3
+    assert sub.batch([0, 2]) == [7, 9]
+    assert sub.augment is None
