@@ -26,6 +26,7 @@ from typing import Any, Callable
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -377,15 +378,27 @@ def make_cached_train_step(
     batch_sharded = NamedSharding(mesh, P("data"))
     images_sharded = image_sharding(mesh)
 
+    # single-device mesh: the image gather goes through the Pallas DMA
+    # kernel (ops/gather.py) — XLA's row gather serializes and costs ~3 ms
+    # against multi-GB caches. Multi-device meshes keep the XLA path: a
+    # pallas_call does not partition under GSPMD, and there each device
+    # should gather only its batch shard (the sharding constraint below).
+    single_dev = int(np.prod(mesh.devices.shape)) == 1
+
     def cached_step(state: TrainState, images_cache, gt_cache, idx):
-        # constrain the gather OUTPUT to the data sharding: the cache is
-        # replicated, so without this every device would gather (and then
-        # compute) the whole batch — GSPMD has no reason to split a
-        # replicated->replicated gather. With the constraint each device
-        # gathers only its batch rows from its local cache copy.
-        images_u8 = jax.lax.with_sharding_constraint(
-            jnp.take(images_cache, idx, axis=0), images_sharded
-        )
+        if single_dev:
+            from pyrapose_tpu.ops.gather import gather_rows_pallas
+
+            images_u8 = gather_rows_pallas(images_cache, idx)
+        else:
+            # constrain the gather OUTPUT to the data sharding: the cache
+            # is replicated, so without this every device would gather
+            # (and then compute) the whole batch — GSPMD has no reason to
+            # split a replicated->replicated gather. With the constraint
+            # each device gathers only its batch rows from its local copy.
+            images_u8 = jax.lax.with_sharding_constraint(
+                jnp.take(images_cache, idx, axis=0), images_sharded
+            )
         gt = jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(
                 jnp.take(a, idx, axis=0), batch_sharded
