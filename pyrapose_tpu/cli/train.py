@@ -420,8 +420,15 @@ def run_train(args) -> int:
         disk_cache = None
         if args.snapshot_path and args.dataset != "synthetic":
             disk_cache = os.path.join(args.snapshot_path, "device_cache.npz")
-        cache = DeviceCache.build(dataset, mesh=mesh, num_workers=workers,
-                                  disk_cache=disk_cache)
+        import math as _math
+
+        cache = DeviceCache.build(
+            dataset, mesh=mesh, num_workers=workers, disk_cache=disk_cache,
+            # lane-tiled staging feeds the Pallas row gather without ever
+            # relayouting the full cache; multi-device meshes keep the
+            # image layout (their gather shards by batch via GSPMD)
+            flatten_rows=int(_math.prod(mesh.devices.shape)) == 1,
+        )
 
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // args.batch_size, 1)
     profiling = False

@@ -61,9 +61,16 @@ class DeviceCache:
         gt: GroundTruth of (D, ...) device arrays.
     """
 
-    def __init__(self, images: jnp.ndarray, gt: GroundTruth):
+    def __init__(self, images: jnp.ndarray, gt: GroundTruth,
+                 image_shape: tuple[int, ...] | None = None):
         self.images = images
         self.gt = gt
+        # set when the pixel payload is staged as (D, rows, 128) lane tiles
+        # (flatten_rows=True): gathering from that layout avoids the
+        # full-cache relayout copy a (D, H, W, 3) -> (D, rows, 128) reshape
+        # costs on device (measured: 2x HBM at stage time = OOM for >5 GB
+        # caches), and feeds the Pallas row-gather directly
+        self.image_shape = image_shape
 
     def __len__(self) -> int:
         return int(self.images.shape[0])
@@ -84,6 +91,7 @@ class DeviceCache:
         load_batch: int = 32,
         verbose: bool = True,
         disk_cache: str | None = None,
+        flatten_rows: bool = False,
     ) -> "DeviceCache":
         """Decode + letterbox every sample once (threaded), stage to device.
 
@@ -138,7 +146,15 @@ class DeviceCache:
         if mesh is not None and np.prod(mesh.devices.shape) > 1:
             sharding = NamedSharding(mesh, P())  # replicate over the mesh
         put = (lambda a: jax.device_put(a, sharding)) if sharding else jax.device_put
-        cache = cls(put(images), jax.tree_util.tree_map(put, gt))
+        image_shape = None
+        row_size = int(np.prod(images.shape[1:]))
+        if flatten_rows and row_size % 128 == 0:
+            image_shape = images.shape[1:]
+            # host-side reshape is free; device_put lays the (D, rows, 128)
+            # array out directly — no on-device relayout of the full cache
+            images = images.reshape(images.shape[0], row_size // 128, 128)
+        cache = cls(put(images), jax.tree_util.tree_map(put, gt),
+                    image_shape=image_shape)
         if verbose:
             print(
                 f"  device-cache: {n} frames, "
@@ -200,6 +216,8 @@ class DeviceCache:
         """Gather a minibatch on device. Host traffic: the index vector."""
         idx = jnp.asarray(indices, jnp.int32)
         images = jnp.take(self.images, idx, axis=0)
+        if self.image_shape is not None:
+            images = images.reshape(images.shape[0], *self.image_shape)
         gt = jax.tree_util.tree_map(
             lambda a: jnp.take(a, idx, axis=0), self.gt
         )

@@ -42,9 +42,6 @@ def gather_rows_pallas(
     128-lane vectors (never the case for image caches: H*W*3 of 480x640
     is 7200*128).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     rest = cache.shape[1:]
     size = math.prod(rest)
     if size % 128:
@@ -53,7 +50,36 @@ def gather_rows_pallas(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     b = idx.shape[0]
-    view = cache.reshape(cache.shape[0], rows, 128)
+    d = cache.shape[0]
+    view = cache.reshape(d, rows, 128)
+    idx = jnp.asarray(idx, jnp.int32)
+
+    # Mosaic's DMA addressing caps a pallas operand at 2^32 bytes (measured
+    # on v5e: 3.4 GiB compiles, 5.2 GiB rejects). Bigger caches are viewed
+    # as K segments, each gathered with clamped indices; rows are then
+    # selected by owner segment. K extra row copies per batch are noise
+    # (~1 ms of DMA) next to the 3 ms serialized-gather this replaces.
+    max_bytes = (1 << 32) - (1 << 24)
+    row_bytes = rows * 128 * cache.dtype.itemsize
+    k = max(1, -(-(d * row_bytes) // max_bytes))
+    seg = -(-d // k)
+    out = None
+    for s in range(k):
+        lo, hi = s * seg, min((s + 1) * seg, d)
+        local = jnp.clip(idx - lo, 0, hi - lo - 1)
+        part = _gather_call(view[lo:hi], local, b, rows, interpret)
+        if out is None:
+            out = part
+        else:
+            owner = (idx >= lo)[:, None, None]
+            out = jnp.where(owner, part, out)
+    return out.reshape(b, *rest)
+
+
+def _gather_call(view, local_idx, b, rows, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
@@ -62,10 +88,9 @@ def gather_rows_pallas(
         ],
         out_specs=pl.BlockSpec((1, rows, 128), lambda i, idx_ref: (i, 0, 0)),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _copy_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, rows, 128), cache.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rows, 128), view.dtype),
         interpret=interpret,
-    )(jnp.asarray(idx, jnp.int32), view)
-    return out.reshape(b, *rest)
+    )(local_idx, view)

@@ -385,6 +385,8 @@ def make_cached_train_step(
     # should gather only its batch shard (the sharding constraint below).
     single_dev = int(np.prod(mesh.devices.shape)) == 1
 
+    h, w = pipe_config.image_shape
+
     def cached_step(state: TrainState, images_cache, gt_cache, idx):
         if single_dev:
             from pyrapose_tpu.ops.gather import gather_rows_pallas
@@ -399,6 +401,11 @@ def make_cached_train_step(
             images_u8 = jax.lax.with_sharding_constraint(
                 jnp.take(images_cache, idx, axis=0), images_sharded
             )
+        if images_u8.ndim == 3:
+            # cache staged as (D, rows, 128) lane tiles (DeviceCache
+            # flatten_rows): relayout only the gathered BATCH (~15 MB),
+            # never the multi-GB cache
+            images_u8 = images_u8.reshape(images_u8.shape[0], h, w, 3)
         gt = jax.tree_util.tree_map(
             lambda a: jax.lax.with_sharding_constraint(
                 jnp.take(a, idx, axis=0), batch_sharded
