@@ -190,6 +190,24 @@ def main() -> None:
             lambda out: (out[0].rot, out[1]["scores"]),
         )
         extras_int8 = round(batch / dt_q / max(n_chips, 1), 2)
+
+        # static calibration: fixed activation scales drop the per-conv
+        # abs-max pass (models/quantize.calibrate_activation_scales)
+        from pyrapose_tpu.data.pipeline import preprocess_images
+        from pyrapose_tpu.models.quantize import calibrate_activation_scales
+
+        calib = calibrate_activation_scales(
+            model, variables, qtable,
+            preprocess_images(images[: min(batch, 8)]), train=False,
+        )
+        infer_qs = build_inference_fn(
+            model, spec.corners3d, (480, 640), qtable=calib
+        )
+        dt_qs = _time(
+            infer_qs, (qvars, images, cam), iters, warmup,
+            lambda out: (out[0].rot, out[1]["scores"]),
+        )
+        extras_int8_static = round(batch / dt_qs / max(n_chips, 1), 2)
     except Exception as exc:
         extras_int8 = None
         extras_int8_err = str(exc)[:200]
@@ -213,6 +231,7 @@ def main() -> None:
     }
     if extras_int8 is not None:
         extras["img_s_per_chip_int8"] = extras_int8
+        extras["img_s_per_chip_int8_static"] = extras_int8_static
     else:
         extras["int8_error"] = extras_int8_err
 

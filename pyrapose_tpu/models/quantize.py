@@ -85,6 +85,53 @@ def quantize_variables(
     return table
 
 
+def calibrate_activation_scales(
+    model: nn.Module,
+    variables: dict,
+    qtable: dict,
+    sample_images: "jnp.ndarray",
+    margin: float = 1.05,
+    **apply_kwargs: Any,
+) -> dict:
+    """Static PTQ calibration: replace the dynamic per-tensor activation
+    scale with a fixed one measured on representative inputs.
+
+    Runs the UN-quantized model over `sample_images` with an observing
+    interceptor, records each table'd conv's input abs-max, and returns a
+    new table whose entries carry `x_scale` (with a safety margin for
+    unseen inputs — activations past it saturate at +-127, which focal/
+    regression heads tolerate). `_qconv` then skips the abs-max + its
+    serialization point: the quantized program becomes a pure feed-forward
+    int8 pipeline.
+    """
+    observed: dict[tuple[str, ...], float] = {}
+
+    def observer(next_fun, call_args, call_kwargs, context):
+        mod = context.module
+        if (
+            isinstance(mod, nn.Conv)
+            and context.method_name == "__call__"
+            and tuple(mod.scope.path) in qtable
+        ):
+            path = tuple(mod.scope.path)
+            amax = float(jnp.max(jnp.abs(call_args[0].astype(jnp.float32))))
+            observed[path] = max(observed.get(path, 0.0), amax)
+        return next_fun(*call_args, **call_kwargs)
+
+    with nn.intercept_methods(observer):
+        model.apply(variables, sample_images, **apply_kwargs)
+
+    out = {}
+    for path, entry in qtable.items():
+        e = dict(entry)
+        if path in observed:
+            e["x_scale"] = jnp.asarray(
+                max(observed[path] * margin / 127.0, 1e-12), jnp.float32
+            )
+        out[path] = e
+    return out
+
+
 def _as_pair(v) -> tuple[int, int]:
     if isinstance(v, int):
         return (v, v)
@@ -96,7 +143,9 @@ def _qconv(mod: nn.Conv, x: jnp.ndarray, entry: dict) -> jnp.ndarray:
     convs are)."""
     out_dtype = mod.dtype or x.dtype
     xf = x.astype(jnp.float32)
-    x_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    x_scale = entry.get("x_scale")
+    if x_scale is None:  # dynamic fallback: abs-max per call
+        x_scale = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
     x_q = jnp.clip(jnp.round(xf / x_scale), -127, 127).astype(jnp.int8)
     y = jax.lax.conv_general_dilated(
         x_q,

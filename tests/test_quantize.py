@@ -99,3 +99,24 @@ def test_inference_fn_int8_path(model_and_vars):
     poses, aux = infer(variables, images, cam)
     assert np.isfinite(np.asarray(aux["scores"])).all()
     assert np.isfinite(np.asarray(poses.trans)).all()
+
+
+def test_static_calibration_close_to_dynamic(model_and_vars):
+    from pyrapose_tpu.models.quantize import calibrate_activation_scales
+
+    model, variables = model_and_vars
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 50, (1, H, W, 3)).astype(np.float32))
+    table = quantize_variables(variables)
+    calib = calibrate_activation_scales(
+        model, variables, table, x, train=False
+    )
+    # every quantized conv observed an input
+    assert all("x_scale" in e for e in calib.values())
+    dyn = quantized_apply(model, variables, table, x, train=False)
+    sta = quantized_apply(model, variables, calib, x, train=False)
+    for k in dyn:
+        d = np.asarray(dyn[k], np.float32)
+        s = np.asarray(sta[k], np.float32)
+        scale = max(np.abs(d).max(), 1e-3)
+        assert np.abs(d - s).max() / scale < 0.15, k
