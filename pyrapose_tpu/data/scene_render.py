@@ -273,59 +273,81 @@ def generate_synthetic_dataset(
     fx, fy, cx, cy = cam
     h, w = shape
 
+    # Restartable rendering: each image gets its own RNG stream derived from
+    # (seed, idx), and its annotations are flushed to an atomic per-image
+    # sidecar right after the PNGs. A rerun of the same command skips every
+    # image whose sidecar + PNG trio already exist, so a killed render (VM
+    # preemption, OOM) loses at most the in-flight image.
     images, annotations = [], []
     ann_id = 0
     for idx in range(n_images):
-        k = int(rng.integers(instances_per_image[0], instances_per_image[1] + 1))
-        chosen = rng.choice(obj_ids, size=min(k, len(obj_ids)), replace=False)
-        instances = []
-        for oid in chosen:
-            # random rotation via quaternion sample
-            q = rng.normal(size=4)
-            q /= np.linalg.norm(q)
-            w_, x_, y_, z_ = q
-            rot = np.array([
-                [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - z_ * w_), 2 * (x_ * z_ + y_ * w_)],
-                [2 * (x_ * y_ + z_ * w_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - x_ * w_)],
-                [2 * (x_ * z_ - y_ * w_), 2 * (y_ * z_ + x_ * w_), 1 - 2 * (x_ * x_ + y_ * y_)],
-            ])
-            zdist = rng.uniform(0.55, 1.4)
-            xr = (rng.uniform(0.15, 0.85) * w - cx) * zdist / fx
-            yr = (rng.uniform(0.15, 0.85) * h - cy) * zdist / fy
-            instances.append((int(oid), rot, np.array([xr, yr, zdist])))
-
-        background = None
-        if backgrounds:
-            background = np.asarray(
-                Image.open(backgrounds[int(rng.integers(len(backgrounds)))])
-                .convert("RGB")
-            )
-        sample = renderer.render(instances, background=background, rng=rng)
-
         stem = os.path.join(img_dir, f"{idx:08d}")
-        Image.fromarray(sample["rgb"]).save(stem + "_rgb.png")
-        Image.fromarray(sample["mask"]).save(stem + "_mask.png")
-        dep_mm = np.clip(sample["depth"] * 1000.0, 0, 65535).astype(np.uint16)
-        Image.fromarray(dep_mm).save(stem + "_dep.png")
+        sidecar = stem + "_ann.json"
+        image_rec = dict(id=idx, file_name=f"{idx:08d}.png", width=w, height=h,
+                         fx=fx, fy=fy, cx=cx, cy=cy)
+        if os.path.exists(sidecar) and all(
+            os.path.exists(stem + s) for s in ("_rgb.png", "_mask.png", "_dep.png")
+        ):
+            with open(sidecar) as f:
+                cached = json.load(f)
+        else:
+            img_rng = np.random.default_rng([seed, idx])
+            k = int(img_rng.integers(
+                instances_per_image[0], instances_per_image[1] + 1))
+            chosen = img_rng.choice(
+                obj_ids, size=min(k, len(obj_ids)), replace=False)
+            instances = []
+            for oid in chosen:
+                # random rotation via quaternion sample
+                q = img_rng.normal(size=4)
+                q /= np.linalg.norm(q)
+                w_, x_, y_, z_ = q
+                rot = np.array([
+                    [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - z_ * w_), 2 * (x_ * z_ + y_ * w_)],
+                    [2 * (x_ * y_ + z_ * w_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - x_ * w_)],
+                    [2 * (x_ * z_ - y_ * w_), 2 * (y_ * z_ + x_ * w_), 1 - 2 * (x_ * x_ + y_ * y_)],
+                ])
+                zdist = img_rng.uniform(0.55, 1.4)
+                xr = (img_rng.uniform(0.15, 0.85) * w - cx) * zdist / fx
+                yr = (img_rng.uniform(0.15, 0.85) * h - cy) * zdist / fy
+                instances.append((int(oid), rot, np.array([xr, yr, zdist])))
 
-        images.append(
-            dict(id=idx, file_name=f"{idx:08d}.png", width=w, height=h,
-                 fx=fx, fy=fy, cx=cx, cy=cy)
-        )
-        for ann in sample["annotations"]:
-            quat = _mat_to_quat(ann["rot"])
-            annotations.append(
-                dict(
-                    id=ann_id,
-                    image_id=idx,
-                    category_id=int(ann["obj_id"]),
-                    bbox=ann["bbox"],
-                    pose=[float(v) for v in ann["trans"]]
-                    + [float(v) for v in quat],
-                    mask_id=int(ann["mask_id"]),
-                    feature_visibility=float(ann["visibility"]),
+            background = None
+            if backgrounds:
+                background = np.asarray(
+                    Image.open(
+                        backgrounds[int(img_rng.integers(len(backgrounds)))])
+                    .convert("RGB")
                 )
-            )
+            sample = renderer.render(
+                instances, background=background, rng=img_rng)
+
+            Image.fromarray(sample["rgb"]).save(stem + "_rgb.png")
+            Image.fromarray(sample["mask"]).save(stem + "_mask.png")
+            dep_mm = np.clip(sample["depth"] * 1000.0, 0, 65535).astype(np.uint16)
+            Image.fromarray(dep_mm).save(stem + "_dep.png")
+
+            cached = []
+            for ann in sample["annotations"]:
+                quat = _mat_to_quat(ann["rot"])
+                cached.append(
+                    dict(
+                        category_id=int(ann["obj_id"]),
+                        bbox=[float(v) for v in ann["bbox"]],
+                        pose=[float(v) for v in ann["trans"]]
+                        + [float(v) for v in quat],
+                        mask_id=int(ann["mask_id"]),
+                        feature_visibility=float(ann["visibility"]),
+                    )
+                )
+            tmp = sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cached, f)
+            os.replace(tmp, sidecar)
+
+        images.append(image_rec)
+        for ann in cached:
+            annotations.append(dict(id=ann_id, image_id=idx, **ann))
             ann_id += 1
 
     index = dict(images=images, annotations=annotations)

@@ -147,3 +147,34 @@ class TestDatasetWriter:
         z = gt.trans[0][gt.valid[0]][:, 2]
         assert ((z > 0.4) & (z < 1.6)).all()
         assert depth.max() > 0.3
+
+    def test_render_resumes_after_interrupt(self, tmp_path):
+        """A killed render reruns to an identical index, re-rendering only
+        the images whose sidecars are missing (restartability contract)."""
+        models = tmp_path / "models"
+        models.mkdir()
+        verts, faces = _box_mesh(0.1)
+        _write_ply(str(models / "obj_000001.ply"), verts, faces, scale=1000.0)
+        info = {"1": dict(diameter=173.2, min_x=-50, min_y=-50, min_z=-50,
+                          size_x=100, size_y=100, size_z=100)}
+        (models / "models_info.json").write_text(json.dumps(info))
+
+        out = tmp_path / "ds"
+        full = generate_synthetic_dataset(
+            str(models), str(out), n_images=4, cam=CAM, shape=SHAPE,
+            instances_per_image=(1, 1), seed=7,
+        )
+        # simulate a mid-run kill: drop image 2's artifacts and the index
+        img_dir = out / "images" / "train"
+        for suffix in ("_ann.json", "_rgb.png", "_mask.png", "_dep.png"):
+            os.remove(str(img_dir / f"00000002{suffix}"))
+        os.remove(str(out / "annotations" / "instances_train.json"))
+        mtime_before = os.path.getmtime(str(img_dir / "00000001_rgb.png"))
+
+        resumed = generate_synthetic_dataset(
+            str(models), str(out), n_images=4, cam=CAM, shape=SHAPE,
+            instances_per_image=(1, 1), seed=7,
+        )
+        assert resumed == full
+        # untouched images were NOT re-rendered
+        assert os.path.getmtime(str(img_dir / "00000001_rgb.png")) == mtime_before
