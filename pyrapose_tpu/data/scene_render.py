@@ -215,6 +215,11 @@ def generate_synthetic_dataset(
     """
     from PIL import Image
 
+    from pyrapose_tpu.data.annotate import (
+        _symmetries,
+        canonicalize_continuous,
+        canonicalize_discrete,
+    )
     from pyrapose_tpu.data.spec import load_models_info
 
     rng = np.random.default_rng(seed)
@@ -227,7 +232,9 @@ def generate_synthetic_dataset(
             break
     if info_path is None:
         raise FileNotFoundError(f"models_info not found in {models_dir}")
-    models_info = load_models_info(info_path)
+    models_info = {
+        int(k): v for k, v in load_models_info(info_path).items()
+    }
 
     available = sorted(int(k) for k in models_info)
     obj_ids = obj_ids or available
@@ -310,7 +317,17 @@ def generate_synthetic_dataset(
                 zdist = img_rng.uniform(0.55, 1.4)
                 xr = (img_rng.uniform(0.15, 0.85) * w - cx) * zdist / fx
                 yr = (img_rng.uniform(0.15, 0.85) * h - cy) * zdist / fy
-                instances.append((int(oid), rot, np.array([xr, yr, zdist])))
+                trans = np.array([xr, yr, zdist])
+                # Symmetric-object pose canonicalization, exactly as the
+                # offline BOP converter does it (annotate_BOP.py:45-87 via
+                # data/annotate.py): without it, symmetric classes feed
+                # contradictory corner targets for visually identical views.
+                axis, disc = _symmetries(models_info[int(oid)])
+                if axis is not None:
+                    rot = canonicalize_continuous(rot, trans, axis)
+                if disc is not None:
+                    rot, trans = canonicalize_discrete(rot, trans, disc)
+                instances.append((int(oid), rot, trans))
 
             background = None
             if backgrounds:

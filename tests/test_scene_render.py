@@ -148,6 +148,34 @@ class TestDatasetWriter:
         assert ((z > 0.4) & (z < 1.6)).all()
         assert depth.max() > 0.3
 
+    def test_symmetric_poses_are_canonicalized(self, tmp_path):
+        """Objects with BOP symmetries_discrete get canonical rotations
+        (annotate_BOP.py:68-87 semantics): for a 180-deg-about-y symmetry
+        the canonical representative has R[2,2] >= 0, so visually identical
+        views always carry the same corner targets."""
+        models = tmp_path / "models"
+        models.mkdir()
+        verts, faces = _box_mesh(0.1)
+        _write_ply(str(models / "obj_000001.ply"), verts, faces, scale=1000.0)
+        ry180 = [-1.0, 0.0, 0.0, 0.0,
+                 0.0, 1.0, 0.0, 0.0,
+                 0.0, 0.0, -1.0, 0.0,
+                 0.0, 0.0, 0.0, 1.0]
+        info = {"1": dict(diameter=173.2, min_x=-50, min_y=-50, min_z=-50,
+                          size_x=100, size_y=100, size_z=100,
+                          symmetries_discrete=[ry180])}
+        (models / "models_info.json").write_text(json.dumps(info))
+
+        index = generate_synthetic_dataset(
+            str(models), str(tmp_path / "ds"), n_images=8, cam=CAM,
+            shape=SHAPE, instances_per_image=(1, 1), seed=3,
+        )
+        assert len(index["annotations"]) >= 6
+        for ann in index["annotations"]:
+            w, x, y, z = ann["pose"][3:]
+            r22 = 1 - 2 * (x * x + y * y)
+            assert r22 >= -1e-9, f"non-canonical rotation (R22={r22})"
+
     def test_render_resumes_after_interrupt(self, tmp_path):
         """A killed render reruns to an identical index, re-rendering only
         the images whose sidecars are missing (restartability contract)."""
