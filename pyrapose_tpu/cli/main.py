@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="LR multiplier applied when the plateau fires",
     )
     t.add_argument(
+        "--cosine-decay", action="store_true",
+        help="cosine-anneal the LR from --lr to ~0 over --epochs (after "
+        "--warmup-epochs) instead of reduce-on-plateau. Use for "
+        "from-scratch runs: augmentation-noisy epoch losses can creep "
+        "down forever without ever firing the plateau, and Adam needs "
+        "the final anneal to converge the corner-regression tail",
+    )
+    t.add_argument(
         "--warmup-epochs", type=int, default=0, metavar="N",
         help="linear LR warmup over the first N epochs (from-scratch runs "
         "at higher LR; the reference's 1e-5 fine-tune needs none)",
@@ -160,6 +168,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --device-cache: stage at most N frames (seed-keyed "
         "deterministic subset) — for sets bigger than HBM (~1 GB per 1k "
         "480x640 frames)",
+    )
+    t.add_argument(
+        "--device-cache-rotate", type=int, default=0, metavar="E",
+        help="with --device-cache-frames: rotate the staged HBM chunk "
+        "every E epochs through equal-size chunks of a seed-keyed "
+        "permutation, so a set bigger than HBM still gets FULL coverage "
+        "at device-cache speed. Each chunk's decoded frames are disk-"
+        "cached (device_cache_c{i}.npz), so after the first cycle a "
+        "rotation costs one disk read + host->HBM stage (~seconds), not "
+        "a PNG decode pass. The chunk is a pure function of the epoch — "
+        "restart/resume-safe",
     )
     t.add_argument(
         "--cache-images", type=float, default=0.0, metavar="GB",

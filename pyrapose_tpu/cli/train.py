@@ -364,18 +364,41 @@ def run_train(args) -> int:
         args, spec, augment=not args.no_augment and not use_cache
     )
     cache_frames = getattr(args, "device_cache_frames", 0)
+    cache_rotate = getattr(args, "device_cache_rotate", 0) or 0
+    subset_chunks = None  # (n_chunks, cache_frames) index table, rotation on
+    full_dataset = dataset
     if use_cache and cache_frames and len(dataset) > cache_frames:
         from pyrapose_tpu.data.device_cache import SubsetDataset
 
-        pick = np.random.default_rng(args.seed).choice(
-            len(dataset), cache_frames, replace=False
-        )
-        pick.sort()
-        dataset = SubsetDataset(dataset, pick)
-        print(
-            f"--device-cache-frames: staging a seed-{args.seed} subset of "
-            f"{cache_frames}/{len(dataset.base)} frames"
-        )
+        if cache_rotate > 0:
+            # Equal-size chunks of one seed-keyed permutation; the active
+            # chunk is a pure function of the epoch ((epoch // rotate) %
+            # n_chunks), so resume/restart re-derives it with no state.
+            # The tail chunk wraps around to the permutation's head so
+            # every chunk has exactly cache_frames rows -> steps_per_epoch
+            # and the resume arithmetic stay constant across rotations.
+            perm = np.random.default_rng(args.seed).permutation(len(dataset))
+            n_chunks = -(-len(dataset) // cache_frames)
+            pad = n_chunks * cache_frames - len(dataset)
+            if pad:
+                perm = np.concatenate([perm, perm[:pad]])
+            subset_chunks = perm.reshape(n_chunks, cache_frames)
+            dataset = SubsetDataset(full_dataset, np.sort(subset_chunks[0]))
+            print(
+                f"--device-cache-rotate: {n_chunks} chunks x "
+                f"{cache_frames} frames over {len(full_dataset)}, rotating "
+                f"every {cache_rotate} epochs"
+            )
+        else:
+            pick = np.random.default_rng(args.seed).choice(
+                len(dataset), cache_frames, replace=False
+            )
+            pick.sort()
+            dataset = SubsetDataset(dataset, pick)
+            print(
+                f"--device-cache-frames: staging a seed-{args.seed} subset "
+                f"of {cache_frames}/{len(dataset.base)} frames"
+            )
     if use_cache and device_aug:
         print("--device-cache: photometric + affine augmentation on device")
     plateau = ReduceLROnPlateau(
@@ -411,24 +434,34 @@ def run_train(args) -> int:
     prefetch_depth = getattr(args, "prefetch", 2)
 
     cache = None
+    current_chunk = -1
     if use_cache:
-        from pyrapose_tpu.data.device_cache import DeviceCache
+        from pyrapose_tpu.data.device_cache import DeviceCache, SubsetDataset
 
-        print("staging dataset to device memory (--device-cache)...")
-        # decoded-set disk cache: restarts (--supervise/--auto-resume) skip
-        # the minutes-long PNG decode pass on few-core hosts
-        disk_cache = None
-        if args.snapshot_path and args.dataset != "synthetic":
-            disk_cache = os.path.join(args.snapshot_path, "device_cache.npz")
         import math as _math
 
-        cache = DeviceCache.build(
-            dataset, mesh=mesh, num_workers=workers, disk_cache=disk_cache,
-            # lane-tiled staging feeds the Pallas row gather without ever
-            # relayouting the full cache; multi-device meshes keep the
-            # image layout (their gather shards by batch via GSPMD)
-            flatten_rows=int(_math.prod(mesh.devices.shape)) == 1,
-        )
+        flatten_rows = int(_math.prod(mesh.devices.shape)) == 1
+
+        def _stage(sub_dataset, disk_name):
+            # decoded-set disk cache: restarts (--supervise/--auto-resume)
+            # and chunk re-visits skip the minutes-long PNG decode pass
+            disk_cache = None
+            if args.snapshot_path and args.dataset != "synthetic":
+                disk_cache = os.path.join(args.snapshot_path, disk_name)
+            return DeviceCache.build(
+                sub_dataset, mesh=mesh, num_workers=workers,
+                disk_cache=disk_cache,
+                # lane-tiled staging feeds the Pallas row gather without
+                # ever relayouting the full cache; multi-device meshes keep
+                # the image layout (their gather shards by batch via GSPMD)
+                flatten_rows=flatten_rows,
+            )
+
+        if subset_chunks is None:
+            print("staging dataset to device memory (--device-cache)...")
+            cache = _stage(dataset, "device_cache.npz")
+        # rotation: staged lazily in the epoch loop (the resumed epoch,
+        # not epoch 0, decides which chunk goes to HBM first)
 
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // args.batch_size, 1)
     profiling = False
@@ -455,16 +488,45 @@ def run_train(args) -> int:
     done = False
     warmup = max(getattr(args, "warmup_epochs", 0), 0)
 
+    cosine = bool(getattr(args, "cosine_decay", False))
+
     for epoch in range(start_epoch, args.epochs):
         # linear per-epoch LR warmup (from-scratch runs at higher LR need
         # it; fine-tuning at the reference's 1e-5 does not). Per-epoch
         # granularity keeps the warmup resumable through the (seed, epoch)
         # schedule keying — epochs are sub-minute in cached mode.
-        if warmup and epoch < warmup:
+        if cosine:
+            from pyrapose_tpu.train.schedule import cosine_lr
+
+            set_lr = cosine_lr(args.lr, epoch, args.epochs, warmup)
+            if abs(get_learning_rate(state) - set_lr) > 1e-12:
+                state = set_learning_rate(state, set_lr)
+                if warmup and epoch < warmup:
+                    print(f"warmup: lr {set_lr:.2e} ({epoch + 1}/{warmup})")
+        elif warmup and epoch < warmup:
             set_lr = args.lr * (epoch + 1) / warmup
             if abs(get_learning_rate(state) - set_lr) > 1e-12:
                 state = set_learning_rate(state, set_lr)
                 print(f"warmup: lr {set_lr:.2e} ({epoch + 1}/{warmup})")
+        if use_cache and subset_chunks is not None:
+            want = (epoch // cache_rotate) % len(subset_chunks)
+            if want != current_chunk:
+                # free the old chunk's HBM BEFORE staging the next one —
+                # two resident chunks would not fit by construction
+                cache = None
+                import gc as _gc
+
+                _gc.collect()
+                dataset = SubsetDataset(
+                    full_dataset, np.sort(subset_chunks[want])
+                )
+                print(
+                    f"device-cache rotation: staging chunk "
+                    f"{want + 1}/{len(subset_chunks)}"
+                )
+                cache = _stage(dataset, f"device_cache_c{want}.npz")
+                current_chunk = want
+                watchdog.beat()  # a decode pass is progress, not a stall
         schedule = _epoch_schedule(
             len(dataset), args.batch_size, steps_per_epoch, epoch, args.seed
         )
@@ -572,7 +634,7 @@ def run_train(args) -> int:
         # plateau tracking starts AFTER warmup: the fast improvement at
         # tiny warmup LRs sets a 'best' the full-LR epochs then look
         # noisy against, triggering a spurious 10x cut
-        if epoch >= warmup:
+        if epoch >= warmup and not cosine:
             new_lr = plateau.update(mean_loss, lr)
             if new_lr != lr:
                 state = set_learning_rate(state, new_lr)

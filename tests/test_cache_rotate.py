@@ -1,0 +1,60 @@
+"""--device-cache-rotate argv path: HBM-chunk rotation through a set
+bigger than the staged cache, end-to-end via the real train CLI.
+
+Covers the coverage property (every chunk staged over the run), the
+per-chunk disk caches, and the resume arithmetic (chunk is a pure function
+of the epoch), with the small backbone on a tiny fixture.
+"""
+
+import os
+
+from pyrapose_tpu.cli.main import main
+from tests.test_datasets import _make_bop_tree
+
+
+def test_train_cache_rotation_cli(tmp_path, capsys):
+    root = str(tmp_path / "ds")
+    snap = str(tmp_path / "ckpt")
+    _make_bop_tree(root, [1, 2], set_name="train", n_images=8)
+    rc = main([
+        "train", "homebrewed", root,
+        "--backbone", "resnet10", "--batch-size", "2", "--epochs", "4",
+        "--image-min-side", "64", "--image-max-side", "64",
+        "--snapshot-path", snap, "--no-augment",
+        "--device-cache", "--device-cache-frames", "4",
+        "--device-cache-rotate", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # 8 frames / 4 per chunk = 2 chunks, rotating every 2 of 4 epochs:
+    # both chunks must have been staged exactly once
+    assert "2 chunks x 4 frames over 8" in out
+    assert "staging chunk 1/2" in out
+    assert "staging chunk 2/2" in out
+    assert out.count("staging chunk") == 2
+    # per-chunk decoded-set disk caches
+    assert os.path.exists(os.path.join(snap, "device_cache_c0.npz"))
+    assert os.path.exists(os.path.join(snap, "device_cache_c1.npz"))
+    assert "epoch 4/4" in out
+
+
+def test_resume_restages_correct_chunk(tmp_path, capsys):
+    """A resumed run must stage the chunk its epoch lands in (not chunk 0)."""
+    root = str(tmp_path / "ds")
+    snap = str(tmp_path / "ckpt")
+    _make_bop_tree(root, [1, 2], set_name="train", n_images=8)
+    common = [
+        "train", "homebrewed", root,
+        "--backbone", "resnet10", "--batch-size", "2",
+        "--image-min-side", "64", "--image-max-side", "64",
+        "--snapshot-path", snap, "--no-augment",
+        "--device-cache", "--device-cache-frames", "4",
+        "--device-cache-rotate", "2",
+    ]
+    assert main(common + ["--epochs", "2"]) == 0
+    capsys.readouterr()
+    # epochs 3-4 live in chunk 2: the resumed run must NOT touch chunk 1
+    assert main(common + ["--epochs", "4", "--auto-resume"]) == 0
+    out = capsys.readouterr().out
+    assert "staging chunk 2/2" in out
+    assert "staging chunk 1/2" not in out

@@ -125,6 +125,33 @@ class TestPlateau:
         assert lr == pytest.approx(1e-7)
 
 
+class TestCosine:
+    def test_warmup_then_anneal(self):
+        from pyrapose_tpu.train.schedule import cosine_lr
+
+        base, total, warm = 3e-4, 100, 3
+        # linear warmup
+        assert cosine_lr(base, 0, total, warm) == pytest.approx(base / 3)
+        assert cosine_lr(base, 1, total, warm) == pytest.approx(2 * base / 3)
+        assert cosine_lr(base, 2, total, warm) == pytest.approx(base)
+        # monotone decay after warmup, ending ~min_lr
+        lrs = [cosine_lr(base, e, total, warm) for e in range(warm, total)]
+        assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+        assert lrs[0] == pytest.approx(base)
+        assert lrs[-1] == pytest.approx(1e-7, rel=1e-3)
+
+    def test_pure_function_of_epoch(self):
+        # restart-safety: no carried state, same epoch -> same LR
+        from pyrapose_tpu.train.schedule import cosine_lr
+
+        assert cosine_lr(1e-3, 40, 80, 5) == cosine_lr(1e-3, 40, 80, 5)
+
+    def test_no_warmup(self):
+        from pyrapose_tpu.train.schedule import cosine_lr
+
+        assert cosine_lr(1e-3, 0, 10, 0) == pytest.approx(1e-3)
+
+
 # Sharded-step tests run in a SUBPROCESS with the cpu-mesh environment from
 # __graft_entry__.cpu_mesh_env: N-device virtual CPU mesh, single-threaded
 # Eigen, raised collective rendezvous deadlines (the root-cause fix for the
