@@ -97,7 +97,16 @@ def restore_checkpoint(state: TrainState, path: str) -> TrainState:
 
 
 def restore_params(path: str) -> Any:
-    """Load only the parameter tree (inference/eval entry)."""
+    """Load only the parameter tree (inference/eval entry).
+
+    Accepts either one step directory (`.../step_00001250`) or a snapshot
+    directory full of them — the latter resolves to the newest COMPLETE
+    step, so `pyrapose evaluate <ds> <data> runs/ckpt` works without the
+    caller copying step numbers around.
+    """
+    resolved = latest_checkpoint(path)
+    if resolved is not None:
+        path = resolved
     checkpointer = ocp.PyTreeCheckpointer()
     restored = checkpointer.restore(os.path.abspath(path))
     return restored["params"], restored.get("batch_stats", {})

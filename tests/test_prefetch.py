@@ -213,6 +213,37 @@ class TestTrainCli:
         got = latest_checkpoint(str(tmp_path))
         assert got is not None and got.endswith("step_00000100")
 
+    def test_restore_params_resolves_snapshot_dir(self, tmp_path):
+        """`pyrapose evaluate <ds> <data> runs/ckpt` (the snapshot DIRECTORY,
+        not one step) must resolve to the newest complete step."""
+        import jax
+        import jax.numpy as jnp
+
+        from pyrapose_tpu.train.checkpoint import (
+            restore_params,
+            save_checkpoint,
+        )
+        from pyrapose_tpu.models import ModelConfig
+        from pyrapose_tpu.train import create_train_state
+
+        cfg = ModelConfig(
+            num_classes=2, backbone="resnet10", compute_dtype="float32"
+        )
+        state = create_train_state(
+            jax.random.PRNGKey(0), cfg, image_shape=(64, 64)
+        )
+        step_dir = save_checkpoint(state, str(tmp_path))
+        # directory form and explicit-step form load the same tree
+        p_dir, _ = restore_params(str(tmp_path))
+        p_step, _ = restore_params(step_dir)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            p_dir,
+            p_step,
+        )
+
     def test_prune_checkpoints_keeps_newest(self, tmp_path):
         """--keep-checkpoints rotation: oldest complete saves go, in-progress
         orbax tmp dirs are never touched, keep<=0 is a no-op."""
