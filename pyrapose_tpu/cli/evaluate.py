@@ -113,10 +113,30 @@ def run_evaluate(args) -> int:
     model_points = (
         load_model_points(args.data_path, spec) if args.data_path else None
     )
-    evaluate_by_name(
+    report = evaluate_by_name(
         args.dataset, spec, infer, variables, batches(),
         model_points=model_points, verbose=True, icp=use_icp,
     )
+    report_json = getattr(args, "report_json", None)
+    if report_json:
+        # machine-readable twin of the printed report (CI gates, sweep
+        # tooling); numpy scalars/arrays coerced to plain JSON types
+        import json
+
+        def _py(v):
+            if isinstance(v, dict):
+                return {k: _py(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [_py(x) for x in v]
+            if hasattr(v, "tolist"):
+                return v.tolist()
+            if isinstance(v, (str, int, float, bool)) or v is None:
+                return v
+            return None  # live objects (e.g. the accumulator) don't serialize
+
+        with open(report_json, "w") as f:
+            json.dump(_py(report), f, indent=1)
+        print(f"report written to {report_json}")
     return 0
 
 

@@ -290,6 +290,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(recall_target=0.95); the reference thresholds exactly "
         "(linemod_eval.py:317-334) — use this flag to A/B the recall cost",
     )
+    e.add_argument(
+        "--report-json", default=None, metavar="FILE",
+        help="also write the evaluation report (per-class recall/precision/"
+        "detection + means) as JSON — machine-readable twin of the printed "
+        "report for CI gates and sweep tooling",
+    )
 
     i = sub.add_parser("infer", help="run inference on images, write poses JSON")
     i.add_argument("dataset", choices=DATASETS)
