@@ -45,6 +45,14 @@ from pyrapose_tpu.train.checkpoint import (
     save_checkpoint,
 )
 
+# Mid-epoch watchdog-beat cadence: every _BEAT_EVERY dispatched steps the
+# loop syncs on the loss of the step _BEAT_EVERY back (keeping that many
+# steps of dispatch pipeline in flight) and beats the stall watchdog. One
+# scalar fetch per cadence: ~one tunnel RTT per ~10s of steady-state
+# training — noise — while giving the watchdog step-level liveness instead
+# of epoch-level.
+_BEAT_EVERY = 64
+
 
 def _build_dataset(args, spec, augment, set_name="train"):
     store = getattr(args, "decoded_store", None)
@@ -442,7 +450,7 @@ def run_train(args) -> int:
 
         flatten_rows = int(_math.prod(mesh.devices.shape)) == 1
 
-        def _stage(sub_dataset, disk_name):
+        def _stage(sub_dataset, disk_name, heartbeat=None):
             # decoded-set disk cache: restarts (--supervise/--auto-resume)
             # and chunk re-visits skip the minutes-long PNG decode pass
             disk_cache = None
@@ -455,6 +463,7 @@ def run_train(args) -> int:
                 # ever relayouting the full cache; multi-device meshes keep
                 # the image layout (their gather shards by batch via GSPMD)
                 flatten_rows=flatten_rows,
+                heartbeat=heartbeat,
             )
 
         if subset_chunks is None:
@@ -524,9 +533,13 @@ def run_train(args) -> int:
                     f"device-cache rotation: staging chunk "
                     f"{want + 1}/{len(subset_chunks)}"
                 )
-                cache = _stage(dataset, f"device_cache_c{want}.npz")
+                # beats flow through the whole restage (decode batches, disk
+                # load, device_put) — a multi-GB restage under host
+                # contention is slow-but-alive, not a stall
+                cache = _stage(dataset, f"device_cache_c{want}.npz",
+                               heartbeat=watchdog.beat)
                 current_chunk = want
-                watchdog.beat()  # a decode pass is progress, not a stall
+                watchdog.beat()
         schedule = _epoch_schedule(
             len(dataset), args.batch_size, steps_per_epoch, epoch, args.seed
         )
@@ -589,6 +602,18 @@ def run_train(args) -> int:
                 print(f"reached --max-steps {max_steps}; stopping")
                 done = True
                 break
+            # mid-epoch liveness: every _BEAT_EVERY dispatches, fetch a
+            # LAGGED step's loss (one scalar; usually already materialized,
+            # so the cost is one tunnel RTT and _BEAT_EVERY steps stay in
+            # flight) and beat. A genuinely wedged device blocks this fetch
+            # -> no beat -> the watchdog fires. Without it the watchdog's
+            # granularity is a whole epoch, and an epoch stretched past the
+            # timeout by host contention misfires at the epoch-end fetch
+            # (observed: pytest saturating a 1-core host pushed a 90s epoch
+            # past 1250s and killed a healthy run).
+            if it >= _BEAT_EVERY and it % _BEAT_EVERY == 0:
+                jax.device_get(parts_list[it - _BEAT_EVERY]["loss"])
+                watchdog.beat()
         host_parts = jax.device_get(parts_list)
         watchdog.beat()
         watchdog.start()  # no-op when already running or timeout <= 0

@@ -92,6 +92,7 @@ class DeviceCache:
         verbose: bool = True,
         disk_cache: str | None = None,
         flatten_rows: bool = False,
+        heartbeat=None,
     ) -> "DeviceCache":
         """Decode + letterbox every sample once (threaded), stage to device.
 
@@ -103,7 +104,16 @@ class DeviceCache:
         thousand PNGs); a supervised restart (--supervise/--auto-resume)
         reloads the decoded set in seconds instead. The file is keyed on
         (n, image_shape) and ignored on mismatch.
+
+        heartbeat: optional zero-arg callback invoked at each staging
+        progress point (per decoded load batch, around the disk load, and
+        around the device_put). Lets a StallWatchdog distinguish
+        slow-but-alive staging (multi-GB decode/read under host contention,
+        e.g. a rotation restage) from a wedged device: without it the only
+        beat is after the WHOLE stage and a long restage can be
+        misclassified as a stall.
         """
+        beat = heartbeat or (lambda: None)
         if getattr(dataset, "augment", None) is not None:
             raise ValueError(
                 "--device-cache requires an un-augmented dataset (geometric "
@@ -113,7 +123,9 @@ class DeviceCache:
         n = len(dataset)
         images, gt = (None, None)
         if disk_cache:
+            beat()
             images, gt = cls._load_disk(disk_cache, n, verbose)
+            beat()
         if images is None:
             order = np.arange(n)
             schedule = [
@@ -130,6 +142,7 @@ class DeviceCache:
                 images_parts.append(np.asarray(images_u8))
                 gt_parts.append(gt_b)
                 done += images_u8.shape[0]
+                beat()
                 if verbose and (done % (load_batch * 16) == 0 or done == n):
                     print(f"  device-cache: staged {done}/{n} frames",
                           flush=True)
@@ -153,8 +166,10 @@ class DeviceCache:
             # host-side reshape is free; device_put lays the (D, rows, 128)
             # array out directly — no on-device relayout of the full cache
             images = images.reshape(images.shape[0], row_size // 128, 128)
+        beat()
         cache = cls(put(images), jax.tree_util.tree_map(put, gt),
                     image_shape=image_shape)
+        beat()
         if verbose:
             print(
                 f"  device-cache: {n} frames, "

@@ -180,6 +180,33 @@ class TestDiskCache:
         assert len(c) == 4
 
 
+class TestStagingHeartbeat:
+    """A multi-GB restage under host contention is slow-but-alive, not a
+    stall: build() must drive the caller's heartbeat through every staging
+    phase so a StallWatchdog armed mid-training (rotation restage,
+    cli/train.py) never misfires on a healthy stage."""
+
+    def test_beats_during_decode_and_put(self):
+        beats = []
+        DeviceCache.build(
+            _dataset(n=8), verbose=False, load_batch=2,
+            heartbeat=lambda: beats.append(1),
+        )
+        # >= one beat per decoded load batch (8/2 = 4) + around the put
+        assert len(beats) >= 6
+
+    def test_beats_during_disk_load(self, tmp_path):
+        path = str(tmp_path / "device_cache.npz")
+        DeviceCache.build(_dataset(n=4), verbose=False, disk_cache=path)
+        beats = []
+        DeviceCache.build(
+            _dataset(n=4), verbose=False, disk_cache=path,
+            heartbeat=lambda: beats.append(1),
+        )
+        # around the disk load + around the put; no decode beats (0 decodes)
+        assert len(beats) >= 4
+
+
 def test_subset_dataset_remaps_indices():
     from pyrapose_tpu.data.device_cache import SubsetDataset
 

@@ -79,6 +79,45 @@ class TestSupervisor:
         assert args.stall_timeout == 120.5
 
 
+class TestMidEpochBeats:
+    def test_train_loop_beats_inside_the_epoch(self, tmp_path, monkeypatch):
+        """The watchdog must see liveness at STEP granularity, not epoch
+        granularity: a healthy epoch stretched past the timeout by host
+        contention once killed a real run at the epoch-end loss fetch
+        (rc=17 mid-training, restart lost 4 epochs). The loop now syncs on
+        a lagged step loss every _BEAT_EVERY dispatches and beats."""
+        import pyrapose_tpu.watchdog as wd_mod
+        from pyrapose_tpu.cli import train as cli_train
+        from pyrapose_tpu.cli.main import build_parser
+
+        beats: list[int] = []
+
+        class RecordingWatchdog(wd_mod.StallWatchdog):
+            def beat(self):
+                beats.append(1)
+                super().beat()
+
+        monkeypatch.setattr(wd_mod, "StallWatchdog", RecordingWatchdog)
+        monkeypatch.setattr(cli_train, "_BEAT_EVERY", 2)
+        args = build_parser().parse_args(
+            [
+                "train", "synthetic",
+                "--backbone", "resnet10",
+                "--batch-size", "2",
+                "--epochs", "1",
+                "--steps-per-epoch", "5",
+                "--image-min-side", "64",
+                "--image-max-side", "64",
+                "--snapshot-path", str(tmp_path / "snap"),
+                "--workers", "1",
+            ]
+        )
+        assert cli_train.run_train(args) == 0
+        # mid-epoch beats at it=2,4 (+ the epoch-end fetch beat + the final
+        # save); epoch-granularity would give only the post-loop beats
+        assert len(beats) >= 3
+
+
 class TestImportGraph:
     def test_watchdog_import_pulls_no_train_stack(self):
         """The init watchdog (cli/main.py) arms BEFORE the train-stack
