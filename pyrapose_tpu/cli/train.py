@@ -63,10 +63,16 @@ def _build_dataset(args, spec, augment, set_name="train"):
         from pyrapose_tpu.data.datasets import create_dataset
         from pyrapose_tpu.data.decoded_store import DecodedStore, build_store
 
-        if not getattr(args, "device_augment", False) and not args.no_augment:
+        # --device-cache also augments on device (run_train's device_aug),
+        # so it satisfies the deterministic-frames requirement
+        if not (
+            getattr(args, "device_augment", False)
+            or getattr(args, "device_cache", False)
+            or args.no_augment
+        ):
             raise ValueError(
-                "--decoded-store requires --device-augment (or --no-augment):"
-                " the store holds deterministic frames"
+                "--decoded-store requires --device-augment, --device-cache, "
+                "or --no-augment: the store holds deterministic frames"
             )
         if not DecodedStore.exists(store):
             print(f"decoded-store: building {store} (one-time decode)...")
@@ -336,6 +342,18 @@ def run_train(args) -> int:
     if snapshot:
         state = restore_checkpoint(state, snapshot)
         print(f"resumed from {snapshot} at step {int(state.step)}")
+        if not getattr(args, "auto_resume", False):
+            # warm start (reference semantics, bin/train.py:291: --snapshot
+            # loads weights, then the FULL epoch count trains): the restored
+            # step must not leak into the epoch arithmetic, or a checkpoint
+            # from a finished pretrain makes range(start_epoch, epochs)
+            # empty and the run exits 0 having trained nothing. Resume
+            # (--auto-resume) keeps the step: same run, same schedule.
+            import jax.numpy as _jnp
+
+            state = state.replace(step=_jnp.zeros_like(state.step))
+            print("warm start: epoch/step counter reset to 0 "
+                  "(use --auto-resume to continue a run in place)")
 
     use_cache = getattr(args, "device_cache", False)
     if use_cache and n_proc > 1:
@@ -420,6 +438,18 @@ def run_train(args) -> int:
     )
 
     eval_every = getattr(args, "eval_every", 0) or 0
+    if eval_every > 0 and n_proc > 1:
+        # the in-training eval jit runs on the PRIMARY only, but a
+        # multi-host run's params live on the global mesh: a primary-only
+        # dispatch either fails on non-addressable shards or wedges the
+        # other processes' next all-reduce — a distributed deadlock the
+        # stall watchdogs then kill. Until the eval program is written
+        # against the global mesh, skip it loudly instead of deadlocking;
+        # evaluate checkpoints offline with `pyrapose evaluate`.
+        print("WARNING: --eval-every is not supported with multi-host "
+              "training yet; disabling in-training eval (use `pyrapose "
+              "evaluate` on saved checkpoints instead)")
+        eval_every = 0
     val_dataset = None
     model_points = None
     if eval_every > 0:
@@ -456,9 +486,25 @@ def run_train(args) -> int:
             disk_cache = None
             if args.snapshot_path and args.dataset != "synthetic":
                 disk_cache = os.path.join(args.snapshot_path, disk_name)
+            # content key: same-SIZE but different-CONTENT caches (another
+            # --seed's subset, another letterbox geometry) must re-decode,
+            # not silently train on the previous run's frames
+            import hashlib
+
+            idx = getattr(sub_dataset, "indices", None)
+            subset = (
+                "full" if idx is None else hashlib.sha1(
+                    np.sort(np.asarray(idx, np.int64)).tobytes()
+                ).hexdigest()[:16]
+            )
+            disk_key = (
+                f"shape={tuple(spec.image_shape)}|n={len(sub_dataset)}"
+                f"|subset={subset}"
+            )
             return DeviceCache.build(
                 sub_dataset, mesh=mesh, num_workers=workers,
                 disk_cache=disk_cache,
+                disk_key=disk_key,
                 # lane-tiled staging feeds the Pallas row gather without
                 # ever relayouting the full cache; multi-device meshes keep
                 # the image layout (their gather shards by batch via GSPMD)

@@ -91,6 +91,7 @@ class DeviceCache:
         load_batch: int = 32,
         verbose: bool = True,
         disk_cache: str | None = None,
+        disk_key: str | None = None,
         flatten_rows: bool = False,
         heartbeat=None,
     ) -> "DeviceCache":
@@ -104,6 +105,15 @@ class DeviceCache:
         thousand PNGs); a supervised restart (--supervise/--auto-resume)
         reloads the decoded set in seconds instead. The file is keyed on
         (n, image_shape) and ignored on mismatch.
+
+        disk_key: identity string for the decoded content (frame subset,
+        letterbox geometry, ...). Stored in the .npz and compared on load:
+        a mismatch (e.g. a different --seed picked a different
+        --device-cache-frames subset of the SAME size, or the letterbox
+        target changed) forces a re-decode instead of silently training on
+        the previous run's frames. A file saved without a key (legacy) is
+        accepted with a loud warning so long-running supervised jobs keep
+        their restart-in-seconds behavior.
 
         heartbeat: optional zero-arg callback invoked at each staging
         progress point (per decoded load batch, around the disk load, and
@@ -124,7 +134,7 @@ class DeviceCache:
         images, gt = (None, None)
         if disk_cache:
             beat()
-            images, gt = cls._load_disk(disk_cache, n, verbose)
+            images, gt = cls._load_disk(disk_cache, n, verbose, disk_key)
             beat()
         if images is None:
             order = np.arange(n)
@@ -154,7 +164,7 @@ class DeviceCache:
                 )
             )
             if disk_cache:
-                cls._save_disk(disk_cache, images, gt, verbose)
+                cls._save_disk(disk_cache, images, gt, verbose, disk_key)
         sharding = None
         if mesh is not None and np.prod(mesh.devices.shape) > 1:
             sharding = NamedSharding(mesh, P())  # replicate over the mesh
@@ -179,33 +189,57 @@ class DeviceCache:
 
     @staticmethod
     def _save_disk(path: str, images: np.ndarray, gt: GroundTruth,
-                   verbose: bool) -> None:
+                   verbose: bool, key: str | None = None) -> None:
         """Atomic write (tmp + rename): a killed run never leaves a torn
         cache for its --auto-resume successor to trip on."""
         import os
 
         tmp = path + ".tmp"
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        extra = {}
+        if key is not None:
+            extra["key"] = np.array(key)
         with open(tmp, "wb") as f:
             np.savez(
                 f, images=images,
                 **{f"gt_{k}": np.asarray(v)
                    for k, v in zip(GroundTruth._fields, gt)},
+                **extra,
             )
         os.replace(tmp, path)
         if verbose:
             print(f"  device-cache: decoded set saved to {path}", flush=True)
 
     @staticmethod
-    def _load_disk(path: str, n: int, verbose: bool):
+    def _load_disk(path: str, n: int, verbose: bool,
+                   expect_key: str | None = None):
         """(images, gt) from a previous run's save, or (None, None) when the
-        file is absent/stale (different sample count => different dataset)."""
+        file is absent/stale (different sample count => different dataset,
+        or a content key that doesn't match this run's)."""
         import os
 
         if not os.path.exists(path):
             return None, None
         try:
             with np.load(path) as z:
+                if expect_key is not None:
+                    stored = str(z["key"]) if "key" in z else None
+                    if stored is None:
+                        # pre-key file: identity unverifiable. Accept (a
+                        # supervised restart must not pay a multi-minute
+                        # re-decode) but say so loudly.
+                        print(
+                            f"  device-cache: WARNING: {path} predates "
+                            "content keys; cannot verify it matches this "
+                            "run's frame subset/geometry — delete the file "
+                            "to force a keyed re-decode", flush=True)
+                    elif stored != expect_key:
+                        if verbose:
+                            print(
+                                f"  device-cache: {path} holds different "
+                                f"content ({stored} != {expect_key}); "
+                                "re-decoding", flush=True)
+                        return None, None
                 images = z["images"]
                 if images.shape[0] != n:
                     if verbose:

@@ -65,6 +65,13 @@ def quantize_variables(
     for path, leaf in flat.items():
         if path[-1] != "kernel" or np.ndim(leaf) != 4:
             continue
+        # depthwise convs (efficientnet MBConv) have kernel shape
+        # (H, W, 1, O): _qconv implements only the dense
+        # feature_group_count==1 case, and the interceptor refuses to swap
+        # them — they must not enter the table, or strip_quantized_kernels
+        # would delete kernels the f32 path still reads
+        if leaf.shape[2] == 1:
+            continue
         mod_path = tuple(path[:-1])
         if mod_path in skip:
             continue
@@ -172,11 +179,21 @@ def quantized_apply(
             isinstance(mod, nn.Conv)
             and context.method_name == "__call__"
             and tuple(mod.scope.path) in qtable
-            # grouped/depthwise (efficientnet MBConv) and dilated convs
-            # keep their original form — _qconv implements the dense case
-            and mod.feature_group_count == 1
-            and _as_pair(getattr(mod, "kernel_dilation", 1) or 1) == (1, 1)
         ):
+            # a table'd conv MUST be swappable: strip_quantized_kernels
+            # deletes every table'd f32 kernel, so silently falling back to
+            # next_fun here would read a deleted parameter. _qconv
+            # implements the dense case only; grouped/dilated convs must be
+            # kept out of the table (quantize_variables skips depthwise by
+            # kernel shape; use its `skip` arg for anything else).
+            if mod.feature_group_count != 1 or _as_pair(
+                getattr(mod, "kernel_dilation", 1) or 1
+            ) != (1, 1):
+                raise ValueError(
+                    f"quantization table contains conv {mod.scope.path} "
+                    "with feature_group_count != 1 or dilation; exclude it "
+                    "via quantize_variables(skip=...)"
+                )
             return _qconv(mod, call_args[0], qtable[tuple(mod.scope.path)])
         return next_fun(*call_args, **call_kwargs)
 

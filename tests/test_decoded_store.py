@@ -52,3 +52,13 @@ def test_cli_flag_requires_device_augment(tmp_path):
     store = _build_dataset(args, spec, augment=True)
     assert isinstance(store, DecodedStore)
     assert len(store) == 4
+
+    # --device-cache implies on-device augmentation (run_train's
+    # device_aug), so it must satisfy the deterministic-frames check too
+    # (regression: this combination raised a spurious ValueError)
+    args = build_parser().parse_args(
+        ["train", "homebrewed", root, "--device-cache",
+         "--decoded-store", str(tmp_path / "st" / "train")]
+    )
+    store = _build_dataset(args, spec, augment=True)
+    assert isinstance(store, DecodedStore)

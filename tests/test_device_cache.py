@@ -179,6 +179,52 @@ class TestDiskCache:
         c = DeviceCache.build(_dataset(n=4), verbose=False, disk_cache=path)
         assert len(c) == 4
 
+    def test_content_key_mismatch_forces_redecode(self, tmp_path):
+        """Same frame COUNT, different content identity (another --seed's
+        --device-cache-frames subset, a different letterbox geometry) must
+        re-decode: reusing the old file would silently train on the wrong
+        frames while logs claim the new subset."""
+        path = str(tmp_path / "device_cache.npz")
+        ds = _dataset(n=6)
+        DeviceCache.build(ds, verbose=False, disk_cache=path,
+                          disk_key="shape=(64, 64)|n=6|subset=aaaa")
+        calls = []
+        orig = ds.sample
+
+        def counting_sample(i, **kw):
+            calls.append(i)
+            return orig(i, **kw)
+
+        ds.sample = counting_sample
+        # matching key: reused, zero decodes
+        DeviceCache.build(ds, verbose=False, disk_cache=path,
+                          disk_key="shape=(64, 64)|n=6|subset=aaaa")
+        assert calls == []
+        # different key, same n: must re-decode
+        DeviceCache.build(ds, verbose=False, disk_cache=path,
+                          disk_key="shape=(64, 64)|n=6|subset=bbbb")
+        assert calls != []
+
+    def test_legacy_keyless_file_accepted_with_warning(self, tmp_path, capsys):
+        """Files saved before content keys existed must stay usable (a
+        supervised restart cannot afford a multi-minute re-decode), but the
+        unverifiable identity is called out."""
+        path = str(tmp_path / "device_cache.npz")
+        ds = _dataset(n=4)
+        DeviceCache.build(ds, verbose=False, disk_cache=path)  # no key
+        calls = []
+        orig = ds.sample
+
+        def counting_sample(i, **kw):
+            calls.append(i)
+            return orig(i, **kw)
+
+        ds.sample = counting_sample
+        DeviceCache.build(ds, verbose=False, disk_cache=path,
+                          disk_key="shape=(64, 64)|n=4|subset=full")
+        assert calls == []  # accepted, no re-decode
+        assert "cannot verify" in capsys.readouterr().out
+
 
 class TestStagingHeartbeat:
     """A multi-GB restage under host contention is slow-but-alive, not a

@@ -312,6 +312,44 @@ class TestTrainCli:
         for a, b in zip(ref, got):
             assert b == pytest.approx(a, rel=1e-4), (ref, got)
 
+    def test_warm_start_from_finished_run_trains_full_epochs(self, tmp_path):
+        """--snapshot WITHOUT --auto-resume is a warm start (reference
+        bin/train.py:291 semantics: weights are a starting point, the full
+        epoch count trains). Regression: the restored step leaked into the
+        epoch arithmetic, so warm-starting from a finished run's checkpoint
+        made range(start_epoch, epochs) empty and the run exited 0 having
+        trained NOTHING."""
+        import json
+
+        from pyrapose_tpu.cli.main import build_parser
+        from pyrapose_tpu.cli.train import run_train
+
+        def _args(snap, extra=()):
+            return build_parser().parse_args(
+                [
+                    "train", "synthetic",
+                    "--backbone", "resnet10",
+                    "--batch-size", "2",
+                    "--epochs", "1",
+                    "--steps-per-epoch", "2",
+                    "--image-min-side", "64",
+                    "--image-max-side", "64",
+                    "--snapshot-path", snap,
+                    "--workers", "1",
+                    *extra,
+                ]
+            )
+
+        pretrain = str(tmp_path / "pretrain")
+        assert run_train(_args(pretrain)) == 0  # finishes at step 2
+        ckpt = pretrain + "/step_00000002"
+
+        warm = str(tmp_path / "warm")
+        assert run_train(_args(warm, ["--snapshot", ckpt])) == 0
+        recs = [json.loads(ln) for ln in open(warm + "/metrics.jsonl")]
+        assert len(recs) == 1  # the requested epoch actually ran
+        assert recs[0]["epoch"] == 1
+
 
 class TestInitWatchdogHandover:
     def test_run_train_stops_the_import_time_watchdog(self, tmp_path):

@@ -54,6 +54,37 @@ def test_dequant_roundtrip_error_bounded(model_and_vars):
     )
 
 
+def test_efficientnet_depthwise_kept_f32_and_strip_safe():
+    """MBConv depthwise kernels are 4-D but _qconv implements only dense
+    convs: they must stay OUT of the table, or strip_quantized_kernels
+    deletes parameters the f32 path still reads (regression: efficientnet
+    int8 crashed with a flax missing-param error)."""
+    cfg = ModelConfig(
+        num_classes=C, backbone="efficientnetb0", compute_dtype="float32"
+    )
+    model = PyraPose(config=cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32),
+        train=False,
+    )
+    table = quantize_variables(variables)
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(variables["params"])
+    depthwise = [
+        tuple(p[:-1]) for p, leaf in flat.items()
+        if p[-1] == "kernel" and np.ndim(leaf) == 4 and leaf.shape[2] == 1
+    ]
+    assert depthwise, "efficientnet should have depthwise convs"
+    assert all(p not in table for p in depthwise)
+    # the stripped tree must still run end-to-end through the int8 path
+    slim = strip_quantized_kernels(variables, table)
+    out = quantized_apply(
+        model, slim, table, jnp.zeros((1, H, W, 3), jnp.float32), train=False
+    )
+    assert np.isfinite(np.asarray(out["cls_logits"])).all()
+
+
 def test_quantized_apply_close_to_f32(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.default_rng(0)

@@ -67,7 +67,9 @@ def main() -> int:
         augment=None, seed=0,
     )
 
-    ckpt = latest_checkpoint(args.ckpt_dir)
+    # accept either a snapshot dir (resolve newest step) or a step dir
+    # itself — same contract as evaluate/infer (cli/evaluate.py)
+    ckpt = latest_checkpoint(args.ckpt_dir) or args.ckpt_dir
     print("checkpoint:", ckpt)
     payload = ocp.PyTreeCheckpointer().restore(ckpt)
     params, batch_stats = payload["params"], payload["batch_stats"]
