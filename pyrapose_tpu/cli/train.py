@@ -161,9 +161,19 @@ class _EvalRunner:
 
     `config` is the SAME ModelConfig training uses (incl. any --config anchor
     override) so the validation decode matches the trained anchor layout.
+
+    Multi-host: every process evaluates its OWN slice of the val batches
+    with a process-local inference program (params are replicated, so a
+    host fetch detaches them from the global mesh), then the per-class
+    counters are summed across processes — the report is identical
+    everywhere, and no process ever dispatches a global-mesh program the
+    others don't join (which would deadlock the cluster at the next
+    all-reduce). `process_index`/`process_count` are injectable for tests.
     """
 
-    def __init__(self, args, spec, val_dataset, model_points, config):
+    def __init__(self, args, spec, val_dataset, model_points, config,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         from pyrapose_tpu.inference import build_inference_fn
         from pyrapose_tpu.models import PyraPose
         from pyrapose_tpu.pose import RansacConfig
@@ -172,6 +182,8 @@ class _EvalRunner:
         self.spec = spec
         self.model_points = model_points
         self.val_dataset = val_dataset
+        self.pi = jax.process_index() if process_index is None else process_index
+        self.pc = jax.process_count() if process_count is None else process_count
         model = PyraPose(config=config)
         self.infer = build_inference_fn(
             model, spec.corners3d, spec.image_shape, RansacConfig()
@@ -182,25 +194,49 @@ class _EvalRunner:
         if self._batches is None:
             n = min(len(self.val_dataset), self.args.eval_samples)
             bs = self.args.batch_size
+            starts = list(range(0, n - n % bs, bs))
+            # round-robin batch shard: process i evaluates batches i::pc
             self._batches = [
                 self.val_dataset.batch(list(range(i, i + bs)))
-                for i in range(0, n - n % bs, bs)
+                for i in starts[self.pi :: self.pc]
             ]
         return self._batches
 
     def __call__(self, state) -> dict:
         from pyrapose_tpu.eval.drivers import evaluate_by_name
 
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        params, batch_stats = state.params, state.batch_stats
+        if self.pc > 1:
+            # replicated global-mesh arrays -> host copies, so the local
+            # inference jit never sees non-addressable shards
+            params = jax.device_get(params)
+            batch_stats = jax.device_get(batch_stats) if batch_stats else batch_stats
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         name = self.args.dataset if self.args.dataset != "synthetic" else "linemod"
-        return evaluate_by_name(
+        out = evaluate_by_name(
             name if name in ("linemod", "occlusion", "ycbv", "homebrewed")
             else "linemod",
             self.spec, self.infer, variables, self.batches(),
             model_points=self.model_points, verbose=False,
         )
+        if self.pc > 1:
+            out = self._reduce(out["accumulator"])
+        return out
+
+    def _reduce(self, acc) -> dict:
+        """Sum per-process counters into the global report (all processes)."""
+        from pyrapose_tpu.parallel.multihost import process_concat, process_sum
+
+        for field in ("all_poses", "true_poses", "false_poses", "true_dets"):
+            setattr(acc, field, process_sum(getattr(acc, field)))
+        acc.add_rel = [float(v) for v in process_concat(
+            np.asarray(acc.add_rel, np.float32)
+        )]
+        out = acc.report()
+        out["accumulator"] = acc
+        return out
 
 
 def run_train(args) -> int:
@@ -438,18 +474,6 @@ def run_train(args) -> int:
     )
 
     eval_every = getattr(args, "eval_every", 0) or 0
-    if eval_every > 0 and n_proc > 1:
-        # the in-training eval jit runs on the PRIMARY only, but a
-        # multi-host run's params live on the global mesh: a primary-only
-        # dispatch either fails on non-addressable shards or wedges the
-        # other processes' next all-reduce — a distributed deadlock the
-        # stall watchdogs then kill. Until the eval program is written
-        # against the global mesh, skip it loudly instead of deadlocking;
-        # evaluate checkpoints offline with `pyrapose evaluate`.
-        print("WARNING: --eval-every is not supported with multi-host "
-              "training yet; disabling in-training eval (use `pyrapose "
-              "evaluate` on saved checkpoints instead)")
-        eval_every = 0
     val_dataset = None
     model_points = None
     if eval_every > 0:
@@ -683,21 +707,24 @@ def run_train(args) -> int:
             losses=[round(v, 6) for v in losses],
             **{k: round(v / max(len(losses), 1), 6) for k, v in part_sums.items()},
         )
-        if (not done and eval_every > 0 and (epoch + 1) % eval_every == 0
-                and primary):
+        if not done and eval_every > 0 and (epoch + 1) % eval_every == 0:
+            # ALL processes join (the multi-host reduction is a collective
+            # — a primary-only dispatch would deadlock the cluster); only
+            # the primary logs the identical reduced report
             if eval_runner is None:
                 eval_runner = _EvalRunner(args, spec, val_dataset,
                                           model_points, config)
             report = eval_runner(state)
             watchdog.beat()
-            scalars["val_recall"] = report["mean_recall"]
-            scalars["val_detection_rate"] = report["mean_detection_rate"]
-            scalars["val_median_add_rel"] = report["median_add_rel"]
-            print(
-                f"  val: recall {report['mean_recall']:.4f} "
-                f"det {report['mean_detection_rate']:.4f} "
-                f"median ADD/d {report['median_add_rel']:.3f}"
-            )
+            if primary:
+                scalars["val_recall"] = report["mean_recall"]
+                scalars["val_detection_rate"] = report["mean_detection_rate"]
+                scalars["val_median_add_rel"] = report["median_add_rel"]
+                print(
+                    f"  val: recall {report['mean_recall']:.4f} "
+                    f"det {report['mean_detection_rate']:.4f} "
+                    f"median ADD/d {report['median_add_rel']:.3f}"
+                )
         if primary:
             logger.log(**scalars)
         # the loss is replicated, so every process computes the same plateau

@@ -125,6 +125,44 @@ def device_prefetch_global(
         yield nxt
 
 
+def process_sum(x: np.ndarray) -> np.ndarray:
+    """Elementwise sum of a same-shaped numpy array across all processes.
+
+    Single-process: identity. Used to reduce per-process eval counters
+    (EvalAccumulator fields) into the global tally every process agrees on."""
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils as mhu
+
+    return np.asarray(mhu.process_allgather(x)).sum(axis=0).astype(x.dtype)
+
+
+def process_concat(x: np.ndarray) -> np.ndarray:
+    """Concatenate per-process 1-D float arrays of ARBITRARY (different)
+    lengths across all processes, in process order.
+
+    process_allgather needs equal shapes, so lengths are exchanged first and
+    every contribution is zero-padded to the max before the gather."""
+    x = np.asarray(x, np.float32).reshape(-1)
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils as mhu
+
+    lengths = np.asarray(
+        mhu.process_allgather(np.asarray([x.shape[0]], np.int64))
+    ).reshape(-1)
+    m = int(lengths.max(initial=0))
+    if m == 0:
+        return x
+    buf = np.zeros((m,), np.float32)
+    buf[: x.shape[0]] = x
+    rows = np.asarray(mhu.process_allgather(buf)).reshape(len(lengths), m)
+    return np.concatenate(
+        [rows[i, : int(lengths[i])] for i in range(len(lengths))]
+    )
+
+
 def is_primary() -> bool:
     """True on the process that owns checkpoint/metric writes."""
     return jax.process_index() == 0

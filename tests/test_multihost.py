@@ -30,6 +30,110 @@ class TestShardSchedule:
             shard_schedule([[0, 1, 2]], 0, 2)
 
 
+class TestEvalRunnerSharding:
+    """In-training eval under multi-host: each process evaluates a disjoint
+    round-robin slice of the val batches; the summed counters equal a
+    single-process evaluation of the full set (cli/train.py _EvalRunner).
+    Regression: the eval used to dispatch on the primary only — with
+    global-mesh params that deadlocks the cluster at the next all-reduce."""
+
+    def _runner(self, pi, pc, tmpdir):
+        import dataclasses
+
+        from pyrapose_tpu.cli.main import build_parser
+        from pyrapose_tpu.cli.train import _EvalRunner
+        from pyrapose_tpu.data import LINEMOD_SPEC
+        from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
+        from pyrapose_tpu.models import ModelConfig
+
+        spec = dataclasses.replace(LINEMOD_SPEC, image_shape=(64, 64))
+        args = build_parser().parse_args(
+            ["train", "synthetic", "--backbone", "resnet10",
+             "--batch-size", "2", "--eval-samples", "8",
+             "--image-min-side", "64", "--image-max-side", "64"]
+        )
+        val = SyntheticPoseDataset(spec, num_images=8, seed=3)
+        cfg = ModelConfig(num_classes=spec.num_classes, backbone="resnet10",
+                          compute_dtype="float32")
+        return _EvalRunner(args, spec, val, None, cfg,
+                           process_index=pi, process_count=pc), spec
+
+    def test_shards_are_disjoint_and_union_matches_full(self, tmp_path):
+        import jax
+
+        from pyrapose_tpu.models import ModelConfig
+        from pyrapose_tpu.train import create_train_state
+
+        full, spec = self._runner(0, 1, tmp_path)
+        p0, _ = self._runner(0, 2, tmp_path)
+        p1, _ = self._runner(1, 2, tmp_path)
+        assert len(p0.batches()) + len(p1.batches()) == len(full.batches())
+
+        cfg = ModelConfig(num_classes=spec.num_classes, backbone="resnet10",
+                          compute_dtype="float32")
+        state = create_train_state(jax.random.PRNGKey(0), cfg,
+                                   image_shape=(64, 64))
+        r_full = full(state)
+        # per-process reports (pc>1 takes the host-fetch + reduce path;
+        # in-process the reduction is the single-process identity)
+        r0, r1 = p0(state), p1(state)
+        a_full = r_full["accumulator"]
+        a0, a1 = r0["accumulator"], r1["accumulator"]
+        import numpy as np
+
+        for f in ("all_poses", "true_poses", "false_poses", "true_dets"):
+            np.testing.assert_array_equal(
+                getattr(a0, f) + getattr(a1, f), getattr(a_full, f), err_msg=f
+            )
+        assert sorted(a0.add_rel + a1.add_rel) == pytest.approx(
+            sorted(a_full.add_rel)
+        )
+
+
+@pytest.mark.slow
+def test_process_reductions_on_gloo_cluster():
+    """process_sum / process_concat across a real 2-process gloo CPU
+    cluster: the collective path the in-training eval reduction uses."""
+    import subprocess
+    import sys
+
+    body = r"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import sys
+import numpy as np
+from pyrapose_tpu.parallel.multihost import (
+    initialize_distributed, process_concat, process_sum,
+)
+pid = int(sys.argv[1]); port = int(sys.argv[2])
+initialize_distributed(f'127.0.0.1:{port}', 2, pid, cpu=True)
+s = process_sum(np.array([1 + pid, 10], np.int64))
+c = process_concat(np.arange(pid + 1, dtype=np.float32) + pid)
+print('SUM', s.tolist())
+print('CAT', c.tolist())
+"""
+    import os as _os
+
+    port = 13531 + (_os.getpid() % 491)
+    env = {**_os.environ, "JAX_PLATFORMS": "cpu"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", body, str(pid), str(port)],
+            cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for pid, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker {pid} rc={p.returncode}:\n{err[-3000:]}"
+        outs.append(out)
+    for out in outs:
+        assert "SUM [3, 20]" in out  # (1+0)+(1+1), 10+10
+        # process 0 contributes [0.], process 1 contributes [1., 2.]
+        assert "CAT [0.0, 1.0, 2.0]" in out
+
+
 @pytest.mark.slow
 def test_dryrun_multihost_2x2_matches_single_process():
     """2-process gloo CPU cluster: one fused train step with per-process
