@@ -358,6 +358,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of background images (e.g. COCO)")
     r.add_argument("--obj-ids", type=int, nargs="*", default=None)
     r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--workers", type=int, default=1,
+                   help="stripe rendering over N cooperating processes; "
+                   "run N copies with --worker-index 0..N-1, then once "
+                   "without --workers to assemble the index")
+    r.add_argument("--worker-index", type=int, default=0)
 
     f = sub.add_parser(
         "fps",
@@ -579,11 +584,16 @@ def main(argv: list[str] | None = None) -> int:
             obj_ids=args.obj_ids,
             backgrounds_dir=args.backgrounds,
             seed=args.seed,
+            workers=args.workers,
+            worker_index=args.worker_index,
         )
-        print(
-            f"rendered {len(index['images'])} images, "
-            f"{len(index['annotations'])} annotations to {args.output}"
-        )
+        if index is None:
+            print(f"stripe worker {args.worker_index}/{args.workers} done")
+        else:
+            print(
+                f"rendered {len(index['images'])} images, "
+                f"{len(index['annotations'])} annotations to {args.output}"
+            )
         return 0
     if args.command == "fps":
         import glob

@@ -205,13 +205,22 @@ def generate_synthetic_dataset(
     instances_per_image=(1, 3),
     max_mesh_faces: int = 4000,
     seed: int = 0,
-) -> dict:
+    workers: int = 1,
+    worker_index: int = 0,
+) -> dict | None:
     """Render a BOP-converted synthetic training set from a models directory.
 
     models_dir must hold obj_{id:06d}.ply (or obj_{id:02d}.ply) meshes and a
     models_info.json/yml (BOP layout). Output = the training layout
     data/bop.py consumes. Reference counterpart:
     annotation_scripts/render_custom_from_mesh.py + annotate_BOP.py.
+
+    workers/worker_index: stripe the image indices over `workers`
+    cooperating processes (each renders idx % workers == worker_index and
+    writes only the per-image sidecars — every image's content depends
+    solely on (seed, idx), so stripes compose). Worker processes return
+    None; a final run with workers=1 assembles instances_{set}.json from
+    the sidecars, skipping all finished images.
     """
     from PIL import Image
 
@@ -288,6 +297,8 @@ def generate_synthetic_dataset(
     images, annotations = [], []
     ann_id = 0
     for idx in range(n_images):
+        if workers > 1 and idx % workers != worker_index:
+            continue
         stem = os.path.join(img_dir, f"{idx:08d}")
         sidecar = stem + "_ann.json"
         image_rec = dict(id=idx, file_name=f"{idx:08d}.png", width=w, height=h,
@@ -367,6 +378,8 @@ def generate_synthetic_dataset(
             annotations.append(dict(id=ann_id, image_id=idx, **ann))
             ann_id += 1
 
+    if workers > 1:
+        return None  # stripe worker: sidecars only, no (partial) index
     index = dict(images=images, annotations=annotations)
     with open(
         os.path.join(out_dir, "annotations", f"instances_{set_name}.json"), "w"

@@ -206,3 +206,52 @@ class TestDatasetWriter:
         assert resumed == full
         # untouched images were NOT re-rendered
         assert os.path.getmtime(str(img_dir / "00000001_rgb.png")) == mtime_before
+
+
+    def test_stripe_workers_compose_to_single_process_output(self, tmp_path):
+        """Striped rendering (workers=N cooperating processes) produces the
+        exact same dataset as a single process: every image's content is a
+        pure function of (seed, idx), workers write sidecars for their
+        stripe only, and the final workers=1 pass assembles the identical
+        index without re-rendering anything."""
+        models = tmp_path / "models"
+        models.mkdir()
+        verts, faces = _box_mesh(0.1)
+        _write_ply(str(models / "obj_000001.ply"), verts, faces, scale=1000.0)
+        info = {"1": dict(diameter=173.2, min_x=-50, min_y=-50, min_z=-50,
+                          size_x=100, size_y=100, size_z=100)}
+        (models / "models_info.json").write_text(json.dumps(info))
+
+        single = generate_synthetic_dataset(
+            str(models), str(tmp_path / "ref"), n_images=5, cam=CAM,
+            shape=SHAPE, instances_per_image=(1, 1), seed=11,
+        )
+
+        out = tmp_path / "striped"
+        for w in range(2):
+            ret = generate_synthetic_dataset(
+                str(models), str(out), n_images=5, cam=CAM, shape=SHAPE,
+                instances_per_image=(1, 1), seed=11, workers=2,
+                worker_index=w,
+            )
+            assert ret is None  # stripe workers never write the index
+        assert not os.path.exists(
+            str(out / "annotations" / "instances_train.json"))
+        img_dir = out / "images" / "train"
+        mtimes = {f: os.path.getmtime(str(img_dir / f))
+                  for f in os.listdir(str(img_dir))}
+
+        assembled = generate_synthetic_dataset(
+            str(models), str(out), n_images=5, cam=CAM, shape=SHAPE,
+            instances_per_image=(1, 1), seed=11,
+        )
+        assert assembled == single
+        # assembly re-rendered nothing
+        for f, t in mtimes.items():
+            assert os.path.getmtime(str(img_dir / f)) == t
+        # pixel-identical artifacts
+        for f in os.listdir(str(img_dir)):
+            a = open(str(img_dir / f), "rb").read()
+            b = open(str(tmp_path / "ref" / "images" / "train" / f),
+                     "rb").read()
+            assert a == b, f
