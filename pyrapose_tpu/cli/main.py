@@ -181,6 +181,14 @@ def build_parser() -> argparse.ArgumentParser:
         "restart/resume-safe",
     )
     t.add_argument(
+        "--device-cache-prefetch", action="store_true",
+        help="with --device-cache-rotate: decode + transfer the NEXT chunk "
+        "on a background thread while the current one trains, hiding the "
+        "rotation restage (a ~minute of host->HBM transfer per rotation on "
+        "remote-attached chips). Both chunks are briefly HBM-resident: "
+        "size --device-cache-frames at most HALF the free device memory",
+    )
+    t.add_argument(
         "--cache-images", type=float, default=0.0, metavar="GB",
         help="decoded-frame RAM cache: after the first epoch, PNG decode "
         "cost disappears from the host loader (0 = off; the reference "

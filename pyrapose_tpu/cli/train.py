@@ -497,6 +497,16 @@ def run_train(args) -> int:
 
     cache = None
     current_chunk = -1
+    chunk_prefetch = None
+    if (
+        use_cache
+        and subset_chunks is not None
+        and len(subset_chunks) > 1
+        and getattr(args, "device_cache_prefetch", False)
+    ):
+        from pyrapose_tpu.data.device_cache import ChunkPrefetcher
+
+        chunk_prefetch = ChunkPrefetcher()
     if use_cache:
         from pyrapose_tpu.data.device_cache import DeviceCache, SubsetDataset
 
@@ -590,26 +600,55 @@ def run_train(args) -> int:
         if use_cache and subset_chunks is not None:
             want = (epoch // cache_rotate) % len(subset_chunks)
             if want != current_chunk:
-                # free the old chunk's HBM BEFORE staging the next one —
-                # two resident chunks would not fit by construction
-                cache = None
-                import gc as _gc
-
-                _gc.collect()
+                staged = None
+                if chunk_prefetch is not None:
+                    staged = chunk_prefetch.take(want, heartbeat=watchdog.beat)
                 dataset = SubsetDataset(
                     full_dataset, np.sort(subset_chunks[want])
                 )
-                print(
-                    f"device-cache rotation: staging chunk "
-                    f"{want + 1}/{len(subset_chunks)}"
-                )
-                # beats flow through the whole restage (decode batches, disk
-                # load, device_put) — a multi-GB restage under host
-                # contention is slow-but-alive, not a stall
-                cache = _stage(dataset, f"device_cache_c{want}.npz",
-                               heartbeat=watchdog.beat)
+                if staged is not None:
+                    # overlapped rotation: the chunk was decoded+transferred
+                    # on a background thread while the previous one trained;
+                    # the old chunk frees on rebind
+                    print(
+                        f"device-cache rotation: chunk "
+                        f"{want + 1}/{len(subset_chunks)} prefetched"
+                    )
+                    cache = staged
+                else:
+                    # free the old chunk's HBM BEFORE staging the next one —
+                    # without prefetch, two resident chunks need not fit
+                    cache = None
+                    import gc as _gc
+
+                    _gc.collect()
+                    print(
+                        f"device-cache rotation: staging chunk "
+                        f"{want + 1}/{len(subset_chunks)}"
+                    )
+                    # beats flow through the whole restage (decode batches,
+                    # disk load, device_put) — a multi-GB restage under host
+                    # contention is slow-but-alive, not a stall
+                    cache = _stage(dataset, f"device_cache_c{want}.npz",
+                                   heartbeat=watchdog.beat)
                 current_chunk = want
                 watchdog.beat()
+                if chunk_prefetch is not None:
+                    # kick off the NEXT rotation's chunk (pure function of
+                    # the epoch) — background staging does NOT beat the
+                    # watchdog; only the foreground loop does
+                    nxt_rot_epoch = (epoch // cache_rotate + 1) * cache_rotate
+                    nxt = (nxt_rot_epoch // cache_rotate) % len(subset_chunks)
+                    if nxt_rot_epoch < args.epochs and nxt != want:
+                        chunk_prefetch.start(
+                            nxt,
+                            lambda w=nxt: _stage(
+                                SubsetDataset(
+                                    full_dataset, np.sort(subset_chunks[w])
+                                ),
+                                f"device_cache_c{w}.npz",
+                            ),
+                        )
         schedule = _epoch_schedule(
             len(dataset), args.batch_size, steps_per_epoch, epoch, args.seed
         )

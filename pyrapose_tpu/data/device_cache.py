@@ -276,3 +276,88 @@ class DeviceCache:
         """Iterate (images, gt) minibatches for a list-of-index-lists."""
         for idx in schedule:
             yield self.take(np.asarray(idx, np.int32))
+
+
+class ChunkPrefetcher:
+    """Background staging of the NEXT rotation chunk (--device-cache-prefetch).
+
+    With --device-cache-rotate, the inline restage (disk read + host->HBM
+    device_put) stalls training for the whole transfer — on remote-attached
+    chips the tunnel moves ~0.1-0.2 GB/s, so an 8 GB chunk costs ~a minute
+    every rotation (~25% of wall-clock at rotate=3). Staging the next chunk
+    on a daemon thread while the current one trains hides that entirely:
+    the host is otherwise idle in cached mode (it sends one index vector
+    per step), and JAX transfers release the GIL, so decode + device_put
+    overlap cleanly with step dispatch.
+
+    Cost: both chunks are HBM-resident during the overlap window — size
+    chunks (--device-cache-frames) at most HALF the free device memory.
+
+    The prefetched chunk is speculative: `take(want)` returns it only when
+    it is the chunk the epoch loop actually needs (resume/restart can land
+    anywhere); any mismatch or staging error falls back to the inline path.
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._want = -1
+        self._result: DeviceCache | None = None
+        self._error: Exception | None = None
+
+    @property
+    def pending(self) -> int:
+        """Chunk index being staged in the background, or -1."""
+        return self._want if self._thread is not None else -1
+
+    def start(self, want: int, stage_fn) -> None:
+        """Begin staging chunk `want` via zero-arg `stage_fn` on a thread."""
+        import threading
+
+        self.drop()
+
+        def _run():
+            try:
+                self._result = stage_fn()
+            except Exception as exc:  # surfaced (and retried inline) in take()
+                self._error = exc
+
+        self._want = want
+        self._thread = threading.Thread(
+            target=_run, name=f"chunk-prefetch-{want}", daemon=True
+        )
+        self._thread.start()
+
+    def take(self, want: int, heartbeat=None) -> "DeviceCache | None":
+        """The staged chunk if it matches `want`, else None (inline restage).
+
+        Joining can be slow on the first cycle (the chunk's PNG decode pass
+        is part of the background stage); `heartbeat` is beaten every few
+        seconds of the wait so a StallWatchdog sees a live foreground.
+        """
+        if self._thread is None:
+            return None
+        if self._want != want:
+            self.drop()
+            return None
+        while self._thread.is_alive():
+            self._thread.join(timeout=5.0)
+            if heartbeat is not None:
+                heartbeat()
+        self._thread = None
+        result, error = self._result, self._error
+        self._result = self._error = None
+        if error is not None:
+            print(
+                f"  device-cache: background stage of chunk {want} failed "
+                f"({error}); restaging inline", flush=True
+            )
+            return None
+        return result
+
+    def drop(self) -> None:
+        """Discard any in-flight prefetch (joins to avoid racing stage_fn)."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        self._result = None
+        self._error = None

@@ -58,3 +58,41 @@ def test_resume_restages_correct_chunk(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "staging chunk 2/2" in out
     assert "staging chunk 1/2" not in out
+
+
+def test_prefetch_rotation_matches_inline(tmp_path, capsys):
+    """--device-cache-prefetch is a pure latency optimization: the staged
+    chunk content (and therefore every training loss) must be identical to
+    the inline-restage path."""
+    import json
+
+    root = str(tmp_path / "ds")
+    _make_bop_tree(root, [1, 2], set_name="train", n_images=8)
+
+    def _run(snap, extra):
+        rc = main([
+            "train", "homebrewed", root,
+            "--backbone", "resnet10", "--batch-size", "2", "--epochs", "4",
+            "--image-min-side", "64", "--image-max-side", "64",
+            "--snapshot-path", snap, "--no-augment",
+            "--device-cache", "--device-cache-frames", "4",
+            "--device-cache-rotate", "1",
+            *extra,
+        ])
+        assert rc == 0
+        return [
+            loss
+            for ln in open(snap + "/metrics.jsonl")
+            for loss in json.loads(ln)["losses"]
+        ]
+
+    inline = _run(str(tmp_path / "inline"), [])
+    capsys.readouterr()
+    pre = _run(str(tmp_path / "pre"), ["--device-cache-prefetch"])
+    out = capsys.readouterr().out
+    # rotate=1 over 2 chunks x 4 epochs: chunk 2 (epoch 2) and every
+    # rotation after the first must come from the background stage
+    assert "chunk 2/2 prefetched" in out
+    assert "chunk 1/2 prefetched" in out  # epoch 3 returns to chunk 1
+    assert out.count("staging chunk") == 1  # only the first stage is inline
+    assert pre == inline
