@@ -53,15 +53,19 @@ def main() -> int:
     if not evals:
         print("no --eval-every records")
         return 0
-    print("| epoch | step | train loss | val ADD(-S) recall | val det rate |")
-    print("|---|---|---|---|---|")
+    print("| epoch | step | train loss | val ADD(-S) recall "
+          "| val det rate | val median ADD/d |")
+    print("|---|---|---|---|---|---|")
     for i, r in enumerate(evals):
         if i % args.every and r is not evals[-1]:
             continue
+        med = r.get("val_median_add_rel")
+        med_s = f"{med:.3f}" if med is not None else "n/a"
         print(
             f"| {r.get('epoch')} | {r.get('step')} | {r.get('loss'):.4f} "
             f"| {r.get('val_recall'):.4f} "
-            f"| {r.get('val_detection_rate'):.4f} |"
+            f"| {r.get('val_detection_rate'):.4f} "
+            f"| {med_s} |"
         )
     best = max(evals, key=lambda r: r.get("val_recall", 0.0))
     print(f"\nbest val recall: {best['val_recall']:.4f} at epoch "
