@@ -53,6 +53,7 @@ def run_evaluate(args) -> int:
 
     ransac = RansacConfig(
         score_threshold=args.score_threshold,
+        top_k=getattr(args, "ransac_top_k", 32),
         max_instances=max(getattr(args, "max_instances", 1), 1),
         approx_top_k=not getattr(args, "exact_topk", False),
     )

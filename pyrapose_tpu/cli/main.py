@@ -299,6 +299,18 @@ def build_parser() -> argparse.ArgumentParser:
         "(linemod_eval.py:317-334) — use this flag to A/B the recall cost",
     )
     e.add_argument(
+        "--ransac-top-k",
+        type=int,
+        default=32,
+        metavar="K",
+        help="corner votes kept per class for pose recovery (each vote is "
+        "one EPnP hypothesis AND 8 refinement correspondences). The "
+        "reference keeps ALL votes above the score threshold and runs 300 "
+        "RANSAC iterations (linemod_eval.py:479-485); larger K approaches "
+        "that protocol — more noise averaging in the Gauss-Newton refine, "
+        "at O(K) step cost. 32 is tuned for sharp (converged) models",
+    )
+    e.add_argument(
         "--report-json", default=None, metavar="FILE",
         help="also write the evaluation report (per-class recall/precision/"
         "detection + means) as JSON — machine-readable twin of the printed "

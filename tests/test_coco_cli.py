@@ -64,3 +64,11 @@ def test_coco_choice_in_parser():
     assert args.dataset == "coco"
     with pytest.raises(SystemExit):
         p.parse_args(["train", "coco", "/tmp/x"])  # detection-only: no train
+
+
+def test_ransac_top_k_flag():
+    """--ransac-top-k reaches RansacConfig (vote-pool size, cli/evaluate.py)."""
+    p = build_parser()
+    args = p.parse_args(["evaluate", "linemod", "/tmp/x", "--ransac-top-k", "64"])
+    assert args.ransac_top_k == 64
+    assert p.parse_args(["evaluate", "linemod", "/tmp/x"]).ransac_top_k == 32
