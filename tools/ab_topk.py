@@ -52,7 +52,8 @@ def build(args, approx: bool):
     if batch_stats:
         variables["batch_stats"] = batch_stats
     ransac = RansacConfig(
-        score_threshold=args.score_threshold, approx_top_k=approx
+        score_threshold=args.score_threshold, approx_top_k=approx,
+        top_k=args.ransac_top_k,
     )
     infer = build_inference_fn(
         PyraPose(config=config), spec.corners3d, spec.image_shape, ransac
@@ -111,6 +112,9 @@ def main() -> None:
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-batches", type=int, default=0)
     p.add_argument("--score-threshold", type=float, default=0.5)
+    p.add_argument("--ransac-top-k", type=int, default=32,
+                   help="vote-pool size per class (A/B at the K actually "
+                   "used for reporting; approx-vs-exact cost grows with K)")
     p.add_argument("--image-min-side", type=int, default=0)
     p.add_argument("--image-max-side", type=int, default=0)
     args = p.parse_args()

@@ -1,0 +1,99 @@
+#!/bin/bash
+# Unattended post-training evaluation sequence for the round-2 accuracy run.
+#
+# Waits for the training process to exit, then — on the now-free TPU —
+# runs the full evidence chain the judge needs (VERDICT round-1 items 1 & 8):
+#   1. K-sweep of --ransac-top-k on the 64-image `valmid` subset
+#   2. full 1500-image val evaluation at the best K
+#   3. +ICP depth-refinement arm at the best K
+#   4. approx-vs-exact top-k A/B (tools/ab_topk.py) at the best K
+#   5. tools/report_run.py trajectory table
+#   6. bench.py (fresh perf numbers on the idle chip)
+#
+# Everything lands under $OUT with per-step logs; a DONE sentinel marks
+# completion so a later session can pick up the results even if the
+# session that launched this script has died.
+#
+# Usage: nohup tools/endgame.sh [TRAINER_PID] > /tmp/endgame.log 2>&1 &
+set -u
+PID=${1:-$(cat /tmp/bigrun.pid)}
+OUT=${OUT:-/root/data/endgame}
+DATA=${DATA:-/root/data/lm_syn}
+RUN=${RUN:-/root/data/bigrun}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+echo "[endgame] waiting for trainer pid $PID ..."
+tail --pid="$PID" -f /dev/null 2>/dev/null
+sleep 10  # let the final snapshot finish writing
+CKPT=$(ls -d "$RUN"/step_* 2>/dev/null | sort | tail -1)
+echo "[endgame] trainer exited; newest snapshot: $CKPT"
+[ -n "$CKPT" ] || { echo "[endgame] no snapshot found, aborting"; exit 1; }
+
+# --- 1. (K, score-threshold) sweep on valmid --------------------------------
+# K sizes the vote pool (more noise averaging in GN, O(K) cost); a lower
+# score threshold admits more votes on a soft (from-scratch) model. Sweep K
+# first at the default threshold, then thresholds at the best K.
+for K in 32 64 128 256; do
+  echo "[endgame] valmid sweep K=$K"
+  timeout 1200 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+    --set-name valmid --ransac-top-k "$K" \
+    --report-json "$OUT/valmid_k${K}_t0.5.json" > "$OUT/valmid_k${K}_t0.5.log" 2>&1
+done
+
+pick_best() {  # prints "K THR" of the best valmid arm so far
+  python - "$OUT" <<'PY'
+import json, glob, sys
+best = (64, 0.5, -1.0)
+for f in glob.glob(sys.argv[1] + "/valmid_k*_t*.json"):
+    stem = f.rsplit("/", 1)[1][len("valmid_k"):-len(".json")]
+    k_s, t_s = stem.split("_t")
+    try:
+        r = float(json.load(open(f)).get("mean_recall", -1))
+    except Exception:
+        r = -1.0
+    if r > best[2] or (r == best[2] and int(k_s) < best[0]):
+        best = (int(k_s), float(t_s), r)
+print(best[0], best[1])
+PY
+}
+
+read -r BESTK _ <<<"$(pick_best)"
+for T in 0.4 0.3; do
+  echo "[endgame] valmid sweep K=$BESTK thr=$T"
+  timeout 1200 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+    --set-name valmid --ransac-top-k "$BESTK" --score-threshold "$T" \
+    --report-json "$OUT/valmid_k${BESTK}_t$T.json" > "$OUT/valmid_k${BESTK}_t$T.log" 2>&1
+done
+
+read -r BESTK BESTT <<<"$(pick_best)"
+echo "[endgame] best arm on valmid: K=$BESTK thr=$BESTT"
+
+# --- 2. full val at the best arm --------------------------------------------
+echo "[endgame] full val, K=$BESTK thr=$BESTT"
+timeout 3600 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+  --set-name val --ransac-top-k "$BESTK" --score-threshold "$BESTT" \
+  --report-json "$OUT/val_k${BESTK}_t$BESTT.json" > "$OUT/val_k${BESTK}_t$BESTT.log" 2>&1
+
+# --- 3. ICP arm -----------------------------------------------------------
+echo "[endgame] full val + ICP, K=$BESTK thr=$BESTT"
+timeout 4800 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+  --set-name val --ransac-top-k "$BESTK" --score-threshold "$BESTT" --icp \
+  --report-json "$OUT/val_k${BESTK}_t${BESTT}_icp.json" > "$OUT/val_k${BESTK}_t${BESTT}_icp.log" 2>&1
+
+# --- 4. approx-vs-exact top-k A/B ------------------------------------------
+echo "[endgame] ab_topk at K=$BESTK (valmid)"
+timeout 1800 python tools/ab_topk.py linemod "$DATA" "$CKPT" \
+  --set-name valmid --ransac-top-k "$BESTK" --score-threshold "$BESTT" \
+  > "$OUT/ab_topk.json" 2> "$OUT/ab_topk.log"
+
+# --- 5. trajectory report ---------------------------------------------------
+python tools/report_run.py "$RUN" > "$OUT/report_run.md" 2>&1
+
+# --- 6. fresh bench on the idle chip ---------------------------------------
+echo "[endgame] bench.py"
+timeout 2400 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
+
+echo "$CKPT" > "$OUT/CKPT"
+date -u +%FT%TZ > "$OUT/DONE"
+echo "[endgame] complete"
