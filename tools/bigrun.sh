@@ -5,10 +5,15 @@
 #   meshes -> render-synthetic (train/val/valmid) -> from-scratch training
 #   (docs/USAGE.md recipe) -> tools/endgame.sh evaluation chain.
 #
-# Everything a later session (or the judge) needs lands under
-# $EVIDENCE inside the repo — /root/data does NOT survive VM re-provisioning
-# (this round's first run was lost exactly that way), so logs, metrics and
-# eval reports are copied into the git tree as they appear.
+# /root/data does NOT survive VM re-provisioning (this round's first two
+# attempts were lost exactly that way) and neither do UNCOMMITTED files in
+# the git tree (the tree is restored from HEAD at provision time). So this
+# driver COMMITS its evidence as it appears:
+#   - logs/metrics every ~30 min,
+#   - a tarball of the newest orbax checkpoint every ~2.5 h
+#     (runs_evidence/r2/ckpt_latest.tar, replaced in place),
+# and at startup it restores $RUN from the committed tarball so training
+# resumes (--auto-resume keeps step/opt state) instead of starting over.
 #
 # Usage: nohup tools/bigrun.sh > /tmp/bigrun_driver.log 2>&1 &
 set -u
@@ -21,9 +26,73 @@ RUN=$DATA/bigrun
 EVIDENCE=${EVIDENCE:-$REPO/runs_evidence/r2}
 N_TRAIN=${N_TRAIN:-20000}
 EPOCHS=${EPOCHS:-480}           # x5000-frame chunks = 2.4M images seen
-mkdir -p "$EVIDENCE" "$DATA"
+mkdir -p "$EVIDENCE" "$DATA" "$RUN"
 
 stamp() { date -u +%FT%TZ; }
+
+gcommit() {  # gcommit <msg> <path>... : commit working-tree state of paths
+  local msg=$1; shift
+  local i
+  for i in 1 2 3; do
+    git add -A -- "$@" >/dev/null 2>&1
+    if git commit -q -m "$msg" -- "$@" >/dev/null 2>&1; then
+      echo "[bigrun $(stamp)] committed: $msg"
+      return 0
+    fi
+    # "nothing to commit" is success; a held index.lock gets a retry
+    git status --porcelain -- "$@" 2>/dev/null | grep -q . || return 0
+    sleep 11
+  done
+  echo "[bigrun $(stamp)] WARNING: commit failed: $msg"
+  return 1
+}
+
+snap_ckpt() {  # tar the newest complete checkpoint into the repo + commit
+  local ck name
+  ck=$(ls -d "$RUN"/step_* 2>/dev/null | grep -v tmp | sort | tail -1)
+  [ -n "$ck" ] || return 0
+  name=$(basename "$ck")
+  [ "$(cat "$EVIDENCE/ckpt_latest.name" 2>/dev/null)" = "$name" ] && return 0
+  echo "[bigrun $(stamp)] snapshotting checkpoint $name into the repo"
+  tar -C "$RUN" -cf "$EVIDENCE/ckpt_latest.tar.tmp" "$name" \
+    && mv -f "$EVIDENCE/ckpt_latest.tar.tmp" "$EVIDENCE/ckpt_latest.tar" \
+    && echo "$name" > "$EVIDENCE/ckpt_latest.name" \
+    && gcommit "bigrun: durable checkpoint snapshot $name" \
+         "$EVIDENCE/ckpt_latest.tar" "$EVIDENCE/ckpt_latest.name"
+}
+
+# --- restore a committed checkpoint after VM re-provisioning ----------------
+if ! ls "$RUN"/step_* >/dev/null 2>&1 && [ -f "$EVIDENCE/ckpt_latest.tar" ]; then
+  echo "[bigrun $(stamp)] restoring committed checkpoint $(cat "$EVIDENCE/ckpt_latest.name" 2>/dev/null)"
+  tar -C "$RUN" -xf "$EVIDENCE/ckpt_latest.tar"
+  # metrics.jsonl is append-mode: seed it so the curve stays continuous
+  [ -f "$RUN/metrics.jsonl" ] || cp -f "$EVIDENCE/metrics.jsonl" "$RUN/metrics.jsonl" 2>/dev/null
+elif ! ls "$RUN"/step_* >/dev/null 2>&1 && [ -s "$EVIDENCE/metrics.jsonl" ] \
+    && [ ! -f "$RUN/metrics.jsonl" ]; then
+  # fresh start with no restorable checkpoint: keep the dead attempt's
+  # metrics as separate evidence rather than mixing two step counters
+  n=$(ls "$EVIDENCE"/metrics_attempt*.jsonl 2>/dev/null | wc -l)
+  mv "$EVIDENCE/metrics.jsonl" "$EVIDENCE/metrics_attempt$((n + 1)).jsonl"
+fi
+
+# --- background committer (runs for the whole driver lifetime) --------------
+committer() {
+  local i=0
+  while :; do
+    sleep 300
+    i=$((i + 1))
+    cp -f "$RUN/metrics.jsonl" "$EVIDENCE/metrics.jsonl" 2>/dev/null
+    tail -40 "$EVIDENCE/train.log" > "$EVIDENCE/train_tail.log" 2>/dev/null
+    if [ $((i % 6)) -eq 0 ]; then
+      gcommit "bigrun: live evidence snapshot" "$EVIDENCE"
+    fi
+    if [ $((i % 30)) -eq 0 ]; then
+      snap_ckpt
+    fi
+  done
+}
+committer & COMMITTER=$!
+trap 'kill "$COMMITTER" 2>/dev/null' EXIT
 
 # --- 0. meshes ---------------------------------------------------------------
 if [ ! -f "$MESHES/models_info.json" ]; then
@@ -54,6 +123,8 @@ done
 # 5000-frame chunks (5 GB) + prefetch keep peak cache residency 10 GB of the
 # 16 GB HBM; rotate every 2 epochs -> full 20k coverage each 8 epochs.
 # Supervised + stall-watchdog: tunnel wedges/preemptions self-heal.
+# --save-epochs 10: the first lost attempt died at epoch 12 with nothing
+# saved because the first snapshot was scheduled at epoch 20.
 echo "[bigrun $(stamp)] training: $EPOCHS epochs x 5000-frame chunks"
 python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --batch-size 16 --epochs "$EPOCHS" --lr 3e-4 \
@@ -61,25 +132,22 @@ python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --no-freeze-stem --train-bn \
   --device-cache --device-cache-frames 5000 --device-cache-rotate 2 \
   --device-cache-prefetch \
-  --snapshot-path "$RUN" --auto-resume --save-epochs 20 \
+  --snapshot-path "$RUN" --auto-resume --save-epochs 10 \
   --keep-checkpoints 4 \
   --eval-every 20 --eval-samples 64 --val-set-name valmid \
   --stall-timeout 1200 --supervise 60 \
-  > "$EVIDENCE/train.log" 2>&1 &
+  >> "$EVIDENCE/train.log" 2>&1 &
 TRAINER=$!
 echo $TRAINER > /tmp/bigrun.pid
 echo "[bigrun $(stamp)] trainer pid $TRAINER"
 
-# copy live evidence into the repo while training runs
-while kill -0 "$TRAINER" 2>/dev/null; do
-  sleep 300
-  cp -f "$RUN/metrics.jsonl" "$EVIDENCE/metrics.jsonl" 2>/dev/null
-  tail -40 "$EVIDENCE/train.log" > "$EVIDENCE/train_tail.log" 2>/dev/null
-done
 wait "$TRAINER"; RC=$?
 cp -f "$RUN/metrics.jsonl" "$EVIDENCE/metrics.jsonl" 2>/dev/null
 echo "[bigrun $(stamp)] trainer exited rc=$RC"
+snap_ckpt
+gcommit "bigrun: training finished (rc=$RC), final evidence" "$EVIDENCE"
 
 # --- 3. evaluation chain ------------------------------------------------------
 OUT="$EVIDENCE/endgame" DATA="$SET" RUN="$RUN" tools/endgame.sh "$TRAINER"
+gcommit "bigrun: endgame evaluation reports" "$EVIDENCE"
 echo "[bigrun $(stamp)] all done"
