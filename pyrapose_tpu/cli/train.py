@@ -556,6 +556,20 @@ def run_train(args) -> int:
     profiling = False
 
     max_steps = getattr(args, "max_steps", 0) or 0
+    # graceful external stop: `touch {snapshot_path}/STOP` makes the loop
+    # save a checkpoint and exit 0 at the next beat boundary (so a
+    # --supervise parent does NOT restart it, unlike SIGKILL). Consumed
+    # (deleted) at startup so the next --auto-resume run is not a no-op.
+    # Single-process only: a per-host file seen by one process of a
+    # multi-host job would desync the cluster's collectives.
+    stop_file = (
+        os.path.join(args.snapshot_path, "STOP")
+        if args.snapshot_path and n_proc == 1
+        else None
+    )
+    if stop_file and os.path.exists(stop_file):
+        os.remove(stop_file)
+        print(f"removed stale stop sentinel {stop_file}")
     save_every = getattr(args, "save_every", 0) or 0
     keep_checkpoints = getattr(args, "keep_checkpoints", 0) or 0
     save_epochs = max(getattr(args, "save_epochs", 1) or 1, 1)
@@ -709,6 +723,14 @@ def run_train(args) -> int:
                 print(f"step {global_step}: saved {path}")
             if max_steps and global_step >= max_steps:
                 print(f"reached --max-steps {max_steps}; stopping")
+                done = True
+                break
+            if (
+                stop_file
+                and it % _BEAT_EVERY == 0
+                and os.path.exists(stop_file)
+            ):
+                print(f"stop sentinel {stop_file}; saving and exiting")
                 done = True
                 break
             # mid-epoch liveness: every _BEAT_EVERY dispatches, fetch a
