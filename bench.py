@@ -144,6 +144,10 @@ def main() -> None:
     train_batch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
     train_remat = os.environ.get("BENCH_TRAIN_REMAT", "0") != "0"
     with_train = os.environ.get("BENCH_TRAIN", "1") != "0"
+    # CPU smoke-testability (tests/test_bench_smoke.py): the real bench runs
+    # at the reference's 480x640; a virtual-device CPU run shrinks it
+    H = int(os.environ.get("BENCH_H", "480"))
+    W = int(os.environ.get("BENCH_W", "640"))
 
     spec = LINEMOD_SPEC
     config = ModelConfig(num_classes=spec.num_classes)
@@ -151,17 +155,17 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(
-        rng.integers(0, 255, (batch, 480, 640, 3), dtype=np.uint8)
+        rng.integers(0, 255, (batch, H, W, 3), dtype=np.uint8)
     )
     cam = jnp.tile(jnp.asarray(spec.intrinsics, jnp.float32), (batch, 1))
 
     variables = jax.jit(
-        lambda k: model.init(k, jnp.zeros((1, 480, 640, 3), jnp.float32), train=False)
+        lambda k: model.init(k, jnp.zeros((1, H, W, 3), jnp.float32), train=False)
     )(jax.random.PRNGKey(0))
 
-    infer = build_inference_fn(model, spec.corners3d, (480, 640))
+    infer = build_inference_fn(model, spec.corners3d, (H, W))
     net_only = build_inference_fn(
-        model, spec.corners3d, (480, 640), with_pose=False
+        model, spec.corners3d, (H, W), with_pose=False
     )
 
     n_chips = jax.device_count()
@@ -183,7 +187,7 @@ def main() -> None:
         qtable = quantize_variables(variables)
         qvars = strip_quantized_kernels(variables, qtable)
         infer_q = build_inference_fn(
-            model, spec.corners3d, (480, 640), qtable=qtable
+            model, spec.corners3d, (H, W), qtable=qtable
         )
         dt_q = _time(
             infer_q, (qvars, images, cam), iters, warmup,
@@ -201,7 +205,7 @@ def main() -> None:
             preprocess_images(images[: min(batch, 8)]), train=False,
         )
         infer_qs = build_inference_fn(
-            model, spec.corners3d, (480, 640), qtable=calib
+            model, spec.corners3d, (H, W), qtable=calib
         )
         dt_qs = _time(
             infer_qs, (qvars, images, cam), iters, warmup,
@@ -239,7 +243,7 @@ def main() -> None:
     try:
         lowered = jax.jit(
             lambda v, im: model.apply(v, im, train=False)
-        ).lower(variables, jnp.zeros((1, 480, 640, 3), jnp.float32))
+        ).lower(variables, jnp.zeros((1, H, W, 3), jnp.float32))
         cost = lowered.compile().cost_analysis()
         if cost and cost.get("flops"):
             tflops_per_img = float(cost["flops"]) / 1e12
@@ -262,9 +266,9 @@ def main() -> None:
             from pyrapose_tpu.train import create_train_state
             from pyrapose_tpu.train.step import make_fused_train_step
 
-            tspec = dataclasses.replace(spec, image_shape=(480, 640))
+            tspec = dataclasses.replace(spec, image_shape=(H, W))
             pipe = PipelineConfig(
-                image_shape=(480, 640), num_classes=spec.num_classes
+                image_shape=(H, W), num_classes=spec.num_classes
             )
             import math
 
@@ -275,7 +279,7 @@ def main() -> None:
                 else config
             )
             state = create_train_state(
-                jax.random.PRNGKey(0), tconfig, image_shape=(480, 640)
+                jax.random.PRNGKey(0), tconfig, image_shape=(H, W)
             )
             # donated state carried through the loop — the real training
             # pattern (buffer reuse, no defensive copies)
@@ -372,27 +376,69 @@ def main() -> None:
             # bin/train.py:72-74): stop_gradient prunes the whole backbone
             # backward, so this is the FLOP-reduction lever when 250+
             # img/s/chip is needed at 480x640 (the full fwd+bwd step runs
-            # at the HBM/MXU roofline already — see ARCHITECTURE.md)
-            state_f = create_train_state(
-                jax.random.PRNGKey(0), tconfig, image_shape=(480, 640),
-                freeze_backbone=True,
-            )
-            step_f = make_fused_train_step(
-                mesh, tspec.corners3d, pipe, donate=True
-            )
-            imgs_j = jnp.asarray(imgs_u8)
-            gt_j = jax.tree_util.tree_map(jnp.asarray, gt)
-            for _ in range(2):
-                state_f, parts = step_f(state_f, imgs_j, gt_j)
-            jax.block_until_ready(parts["loss"])
-            t0 = time.perf_counter()
-            for _ in range(t_iters):
-                state_f, parts = step_f(state_f, imgs_j, gt_j)
-            jax.block_until_ready(parts["loss"])
-            dt_frozen = (time.perf_counter() - t0) / t_iters
-            extras["train_img_s_per_chip_frozen_backbone"] = round(
-                train_batch / dt_frozen / max(use, 1), 2
-            )
+            # at the HBM/MXU roofline already — see ARCHITECTURE.md).
+            # Batch sweep: with the backbone backward pruned XLA keeps no
+            # interior backbone activations alive, so batches past 16 fit
+            # in HBM and lift MXU utilization (full-bwd batch 32 regresses).
+            def _time_train_arm(arm_batch: int, freeze: bool,
+                                remat: bool) -> float | None:
+                """img/s/chip for one (batch, freeze, remat) config, or
+                None if it does not fit / fails — each arm is isolated so
+                an OOM cannot take down the headline numbers."""
+                try:
+                    acfg = dataclasses.replace(config, remat=remat)
+                    st = create_train_state(
+                        jax.random.PRNGKey(0), acfg, image_shape=(H, W),
+                        freeze_backbone=freeze,
+                    )
+                    stp = make_fused_train_step(
+                        mesh, tspec.corners3d, pipe, donate=True
+                    )
+                    ads = SyntheticPoseDataset(
+                        tspec, num_images=arm_batch, seed=0
+                    )
+                    a_u8, a_gt = ads.batch(list(range(arm_batch)))
+                    a_imgs = jnp.asarray(a_u8)
+                    a_gt = jax.tree_util.tree_map(jnp.asarray, a_gt)
+                    for _ in range(2):
+                        st, parts = stp(st, a_imgs, a_gt)
+                    jax.block_until_ready(parts["loss"])
+                    t0 = time.perf_counter()
+                    for _ in range(t_iters):
+                        st, parts = stp(st, a_imgs, a_gt)
+                    jax.block_until_ready(parts["loss"])
+                    dt = (time.perf_counter() - t0) / t_iters
+                    return round(arm_batch / dt / max(use, 1), 2)
+                except Exception:
+                    return None
+
+            sweep_env = os.environ.get("BENCH_TRAIN_SWEEP", "1")
+            if sweep_env == "0":
+                sweep_batches = [train_batch]
+            elif "," in sweep_env:
+                sweep_batches = [int(b) for b in sweep_env.split(",")]
+            else:
+                sweep_batches = [train_batch, 32, 64]
+            frozen_sweep = {}
+            for b in dict.fromkeys(sweep_batches):
+                r = _time_train_arm(b, freeze=True, remat=False)
+                if r is not None:
+                    frozen_sweep[str(b)] = r
+            if frozen_sweep:
+                extras["train_img_s_per_chip_frozen_backbone"] = max(
+                    frozen_sweep.values()
+                )
+                extras["train_frozen_sweep"] = frozen_sweep
+            # full backward at batch 32 with block remat: trades ~1 extra
+            # block forward for the activation footprint that made plain
+            # batch 32 regress (131 vs 153 img/s at r1)
+            if sweep_env != "0":
+                rb = int(os.environ.get("BENCH_TRAIN_REMAT_BATCH",
+                                        str(max(sweep_batches))
+                                        if "," in sweep_env else "32"))
+                r32 = _time_train_arm(rb, freeze=False, remat=True)
+                if r32 is not None:
+                    extras[f"train_img_s_per_chip_remat{rb}"] = r32
         except Exception as exc:  # keep the headline alive
             extras["train_error"] = str(exc)[:200]
 

@@ -1,0 +1,72 @@
+"""bench.py smoke test.
+
+The driver runs `python bench.py` unattended on real TPU hardware at the end
+of every round; a crash there loses the round's perf evidence. This runs the
+whole script end-to-end on the virtual CPU mesh at 64x64 / tiny batches and
+checks the one-line JSON contract plus the presence of every extras family
+(breakdown, int8, train arms incl. the frozen-backbone batch sweep, host
+loader). Perf *values* are meaningless on CPU — only the schema is asserted.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_bench_runs_end_to_end_and_prints_one_json_line():
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "BENCH_H": "64",
+        "BENCH_W": "64",
+        "BENCH_BATCH": "2",
+        "BENCH_ITERS": "1",
+        "BENCH_WARMUP": "1",
+        "BENCH_TRAIN_BATCH": "2",
+        "BENCH_TRAIN_SWEEP": "2,4",
+        "BENCH_TRAIN_REMAT_BATCH": "2",
+    }
+    out = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=3000,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {out.stdout!r}"
+    rec = json.loads(lines[0])
+
+    # driver contract
+    assert rec["metric"] == "img_s_per_chip_e2e_480x640"
+    assert rec["unit"] == "img/s/chip"
+    assert rec["value"] > 0 and rec["vs_baseline"] > 0
+
+    # stage breakdown + flops
+    assert rec["breakdown"]["net_img_s_per_chip"] > 0
+    assert "pose_stage_pct" in rec["breakdown"]
+
+    # int8 arms ran (no silent fallback to the error key)
+    assert "int8_error" not in rec, rec.get("int8_error")
+    assert rec["img_s_per_chip_int8"] > 0
+    assert rec["img_s_per_chip_int8_static"] > 0
+
+    # train arms: fused step, hostloader, device-cache, frozen sweep, remat
+    assert "train_error" not in rec, rec.get("train_error")
+    assert rec["train_img_s_per_chip"] > 0
+    assert rec["train_img_s_per_chip_hostloader"] > 0
+    assert rec["train_img_s_per_chip_cached"] > 0
+    assert rec["train_frozen_sweep"].keys() == {"2", "4"}
+    assert rec["train_img_s_per_chip_frozen_backbone"] == max(
+        rec["train_frozen_sweep"].values()
+    )
+    assert rec["train_img_s_per_chip_remat2"] > 0
+
+    # host loader decode throughput
+    assert rec["loader_img_s_per_core"] > 0
+    assert rec["loader_cached_img_s_per_core"] > 0
