@@ -135,6 +135,16 @@ def build_parser() -> argparse.ArgumentParser:
         "above your epoch time",
     )
     t.add_argument(
+        "--rss-restart-gb", type=float, default=0, metavar="GB",
+        help="checkpoint and exit(18) for the supervisor to relaunch when "
+        "this process's resident set exceeds GB — works around remote-TPU "
+        "transport clients leaking every host->device transfer, which makes "
+        "chunk-rotating --device-cache runs grow without bound until the "
+        "kernel OOM-kills them mid-epoch. Live runs can also be tuned by "
+        "writing a number to {snapshot-path}/RSS_RESTART_GB (re-read every "
+        "epoch; overrides the flag). 0 disables. Single-process only",
+    )
+    t.add_argument(
         "--supervise", type=int, default=0, metavar="N",
         help="run training as a child process and restart it up to N times "
         "on any nonzero exit (stall watchdog, preemption, tunnel drop), "
@@ -490,12 +500,23 @@ def _run_supervised(argv: list[str], retries: int) -> int:
     import subprocess
     import time as _time
 
+    from pyrapose_tpu.watchdog import EXIT_RESTART
+
     child = _child_command(argv)
     attempt = 0
     while True:
         rc = subprocess.call(child)
         if rc == 0:
             return 0
+        if rc == EXIT_RESTART:
+            # Voluntary self-restart (checkpoint saved, e.g. --rss-restart-gb
+            # working around the transport memory leak): expected and
+            # unbounded — don't burn the crash-retry budget or back off.
+            print(
+                "supervise: child requested restart (rc=18, checkpoint "
+                "saved); relaunching immediately"
+            )
+            continue
         attempt += 1
         if attempt > retries:
             print(f"supervise: giving up after {retries} restarts (rc={rc})")

@@ -579,7 +579,11 @@ def run_train(args) -> int:
     # point. A wedged device transport turns into exit(17) + stack dump,
     # which --supervise/--auto-resume heal by restarting from the newest
     # checkpoint (pyrapose_tpu/watchdog.py).
-    from pyrapose_tpu.watchdog import StallWatchdog
+    from pyrapose_tpu.watchdog import (
+        EXIT_RESTART,
+        StallWatchdog,
+        host_rss_gb,
+    )
 
     watchdog = StallWatchdog(
         getattr(args, "stall_timeout", 0) or 0, label="train"
@@ -800,6 +804,7 @@ def run_train(args) -> int:
         # end-of-epoch save: device_get of the full train state costs real
         # wall time on remote-attached TPUs (~0.5 GB for resnet50+Adam), so
         # fast cached epochs save every --save-epochs instead of every epoch
+        saved_this_epoch = False
         if primary and (
             (epoch + 1) % save_epochs == 0
             or done
@@ -809,8 +814,46 @@ def run_train(args) -> int:
             prune_checkpoints(args.snapshot_path, keep_checkpoints)
             watchdog.beat()
             print(f"saved {path}")
+            saved_this_epoch = True
         if done:
             break
+        # Voluntary restart before the host OOM-kills us: remote-TPU
+        # transport clients leak every transferred byte (watchdog.EXIT_RESTART
+        # doc), so chunk-rotated --device-cache runs grow without bound. A
+        # graceful save + exit(18) here costs a ~2 min relaunch
+        # (--supervise + --auto-resume + warm compile cache) instead of a
+        # SIGKILL that loses up to --save-epochs of work. The threshold
+        # file ({snapshot_path}/RSS_RESTART_GB) is read every epoch so a
+        # live run can be tuned (or disarmed: delete it / write 0) without
+        # a restart; the flag covers fresh launches. Single-process only —
+        # one host of a multi-host job restarting alone would desync the
+        # cluster's collectives.
+        rss_limit = float(getattr(args, "rss_restart_gb", 0) or 0)
+        if args.snapshot_path and n_proc == 1:
+            limit_file = os.path.join(args.snapshot_path, "RSS_RESTART_GB")
+            if os.path.exists(limit_file):
+                try:
+                    with open(limit_file) as f:
+                        rss_limit = float(f.read().strip() or 0)
+                except (OSError, ValueError):
+                    pass
+        if rss_limit > 0 and n_proc == 1:
+            rss = host_rss_gb()
+            if rss > rss_limit:
+                if primary and not saved_this_epoch:
+                    path = save_checkpoint(state, args.snapshot_path)
+                    prune_checkpoints(args.snapshot_path, keep_checkpoints)
+                    print(f"saved {path}")
+                print(
+                    f"host RSS {rss:.1f} GB > {rss_limit:.1f} GB "
+                    f"(--rss-restart-gb): transport-leak restart — saved, "
+                    f"exiting {EXIT_RESTART} for the supervisor to relaunch"
+                )
+                watchdog.stop()
+                if profiling:
+                    jax.profiler.stop_trace()
+                logger.close()
+                return EXIT_RESTART
     watchdog.stop()
     if profiling:
         jax.profiler.stop_trace()

@@ -32,6 +32,28 @@ EXIT_STALLED = 17
 """Distinctive exit code for "watchdog killed a wedged run" (supervisors
 restart on any nonzero exit; the code makes the cause greppable)."""
 
+EXIT_RESTART = 18
+"""Voluntary self-restart: the run saved a checkpoint and asked its
+supervisor to relaunch it (e.g. --rss-restart-gb, which works around a
+host-memory leak in remote-TPU transport clients: every host->device
+transfer's bytes stay resident in the client forever, so a training run
+that restages multi-GB dataset chunks grows ~chunk-size of anon RSS per
+rotation until the kernel OOM-kills it mid-epoch. A voluntary restart at
+a safe threshold loses nothing: checkpoint + exit + --auto-resume)."""
+
+
+def host_rss_gb() -> float:
+    """This process's resident set size in GB (0.0 if unreadable —
+    /proc is Linux-only and the check must never kill a healthy run)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
 
 def _default_on_stall() -> None:
     # os._exit, not sys.exit: the main thread is blocked inside an XLA

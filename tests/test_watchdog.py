@@ -118,6 +118,98 @@ class TestMidEpochBeats:
         assert len(beats) >= 3
 
 
+class TestRssRestart:
+    """--rss-restart-gb: voluntary checkpoint+exit(18) before the host
+    OOM-kills a leaking remote-TPU transport client (every host->device
+    transfer's bytes stay resident forever, so chunk-rotating
+    --device-cache runs grow without bound)."""
+
+    def test_exit_code_and_rss_readable(self):
+        from pyrapose_tpu.watchdog import EXIT_RESTART, host_rss_gb
+
+        assert EXIT_RESTART == 18
+        rss = host_rss_gb()
+        assert rss > 0.001  # a live CPython process is at least a few MB
+
+    def test_supervisor_relaunches_on_restart_without_burning_retries(
+        self, monkeypatch, capsys
+    ):
+        from pyrapose_tpu.cli import main as cli_main
+        from pyrapose_tpu.watchdog import EXIT_RESTART
+
+        calls = []
+        # two voluntary restarts, then a clean exit — with retries=0 the
+        # old behavior would give up on the first rc=18
+        rcs = iter([EXIT_RESTART, EXIT_RESTART, 0])
+
+        def fake_call(cmd):
+            calls.append(cmd)
+            return next(rcs)
+
+        import subprocess
+
+        # _run_supervised does `import subprocess` at call time, so patching
+        # the module attribute intercepts the child launch
+        monkeypatch.setattr(subprocess, "call", fake_call)
+        rc = cli_main._run_supervised(["train", "synthetic"], retries=0)
+        assert rc == 0
+        assert len(calls) == 3
+        assert "requested restart" in capsys.readouterr().out
+
+    def test_train_loop_saves_and_exits_18_when_over_limit(self, tmp_path):
+        """A multi-epoch synthetic run with an impossibly small limit must
+        checkpoint and return EXIT_RESTART after the first epoch instead of
+        finishing (the supervisor would then relaunch with --auto-resume)."""
+        from pyrapose_tpu.cli import train as cli_train
+        from pyrapose_tpu.cli.main import build_parser
+        from pyrapose_tpu.train.checkpoint import latest_checkpoint
+        from pyrapose_tpu.watchdog import EXIT_RESTART
+
+        snap = tmp_path / "snap"
+        args = build_parser().parse_args(
+            [
+                "train", "synthetic",
+                "--backbone", "resnet10",
+                "--batch-size", "2",
+                "--epochs", "3",
+                "--steps-per-epoch", "2",
+                "--image-min-side", "64",
+                "--image-max-side", "64",
+                "--snapshot-path", str(snap),
+                "--workers", "1",
+                "--save-epochs", "10",  # would NOT save at epoch 1 on its own
+                "--rss-restart-gb", "0.001",
+            ]
+        )
+        assert cli_train.run_train(args) == EXIT_RESTART
+        assert latest_checkpoint(str(snap)) is not None
+
+    def test_threshold_file_overrides_flag(self, tmp_path):
+        """{snapshot-path}/RSS_RESTART_GB re-arms/disarms a LIVE run: a
+        huge file value must override a tiny flag and let the run finish."""
+        from pyrapose_tpu.cli import train as cli_train
+        from pyrapose_tpu.cli.main import build_parser
+
+        snap = tmp_path / "snap"
+        snap.mkdir()
+        (snap / "RSS_RESTART_GB").write_text("10000\n")
+        args = build_parser().parse_args(
+            [
+                "train", "synthetic",
+                "--backbone", "resnet10",
+                "--batch-size", "2",
+                "--epochs", "2",
+                "--steps-per-epoch", "2",
+                "--image-min-side", "64",
+                "--image-max-side", "64",
+                "--snapshot-path", str(snap),
+                "--workers", "1",
+                "--rss-restart-gb", "0.001",
+            ]
+        )
+        assert cli_train.run_train(args) == 0
+
+
 class TestImportGraph:
     def test_watchdog_import_pulls_no_train_stack(self):
         """The init watchdog (cli/main.py) arms BEFORE the train-stack
