@@ -81,6 +81,13 @@ timeout 4800 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
   --set-name val --ransac-top-k "$BESTK" --score-threshold "$BESTT" --icp \
   --report-json "$OUT/val_k${BESTK}_t${BESTT}_icp.json" > "$OUT/val_k${BESTK}_t${BESTT}_icp.log" 2>&1
 
+# --- 3.5 int8 PTQ A/B (docs/USAGE.md promises this measurement) -------------
+echo "[endgame] valmid + int8 PTQ, K=$BESTK thr=$BESTT"
+timeout 1800 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+  --set-name valmid --ransac-top-k "$BESTK" --score-threshold "$BESTT" --int8 \
+  --report-json "$OUT/valmid_int8_k${BESTK}.json" \
+  > "$OUT/valmid_int8_k${BESTK}.log" 2>&1
+
 # --- 4. approx-vs-exact top-k A/B ------------------------------------------
 echo "[endgame] ab_topk at K=$BESTK (valmid)"
 timeout 1800 python tools/ab_topk.py linemod "$DATA" "$CKPT" \
