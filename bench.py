@@ -134,7 +134,59 @@ def _bench_host_loader(n_frames: int = 24) -> dict:
         return out
 
 
+def _quiesce_trainer() -> None:
+    """Gracefully stop a live bigrun trainer before benchmarking.
+
+    A long-running `tools/bigrun.sh` training holds ~10 GB of the chip's
+    16 GB HBM; benchmarking against it would OOM or measure a contended
+    chip. The trainer polls a STOP sentinel every few steps and exits 0
+    after saving a checkpoint (cli/train.py stop_file), so the bench asks
+    it to stop and waits for the HBM to free. A /tmp sentinel also tells
+    the bigrun driver to skip its post-training eval chain (which would
+    otherwise start contending the moment the trainer exits). Engaged only
+    on real accelerators — the CPU smoke test must never stop a trainer.
+    """
+    import sys
+
+    if jax.default_backend() == "cpu" or os.environ.get("BENCH_NO_QUIESCE"):
+        return
+    pid_file = os.environ.get("BENCH_TRAINER_PID_FILE", "/tmp/bigrun.pid")
+    run_dir = os.environ.get("BENCH_TRAINER_RUN", "/root/data/bigrun")
+    try:
+        with open(pid_file) as fh:
+            pid = int(fh.read().strip())
+        os.kill(pid, 0)  # raises if dead
+    except (OSError, ValueError):
+        return
+    skip_file = os.environ.get(
+        "BENCH_SKIP_ENDGAME_FILE", "/tmp/bigrun_skip_endgame"
+    )
+    try:
+        open(skip_file, "w").close()
+        open(os.path.join(run_dir, "STOP"), "w").close()
+    except OSError as exc:
+        print(f"bench: cannot signal trainer stop: {exc}", file=sys.stderr)
+        return
+    print(
+        f"bench: live trainer pid {pid}; requested graceful STOP, waiting",
+        file=sys.stderr,
+    )
+    for _ in range(450):  # <= 15 min; STOP is polled every few steps
+        time.sleep(2)
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            time.sleep(5)  # let process teardown release device memory
+            print("bench: trainer stopped; chip free", file=sys.stderr)
+            return
+    print(
+        "bench: trainer still alive after 15 min; benchmarking anyway",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
+    _quiesce_trainer()
     # defaults from the v5e batch sweep: inference throughput still rises at
     # 64 (513 -> 529 -> 542 img/s/chip for 16/32/64); the fused train step
     # peaks at 16 (146/153/131 for 8/16/32 — HBM pressure past 16)

@@ -125,6 +125,14 @@ done
 # Supervised + stall-watchdog: tunnel wedges/preemptions self-heal.
 # --save-epochs 10: the first lost attempt died at epoch 12 with nothing
 # saved because the first snapshot was scheduled at epoch 20.
+# bench.py quiesces a live trainer at round end (STOP sentinel) and drops
+# /tmp/bigrun_skip_endgame so neither a restarted trainer nor the endgame
+# eval chain contends with the benchmark for the chip.
+if [ -f /tmp/bigrun_skip_endgame ]; then
+  echo "[bigrun $(stamp)] /tmp/bigrun_skip_endgame present (bench owns the chip); exiting"
+  snap_ckpt
+  exit 0
+fi
 echo "[bigrun $(stamp)] training: $EPOCHS epochs x 5000-frame chunks"
 python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --batch-size 16 --epochs "$EPOCHS" --lr 3e-4 \
@@ -148,6 +156,10 @@ snap_ckpt
 gcommit "bigrun: training finished (rc=$RC), final evidence" "$EVIDENCE"
 
 # --- 3. evaluation chain ------------------------------------------------------
+if [ -f /tmp/bigrun_skip_endgame ]; then
+  echo "[bigrun $(stamp)] bench quiesced the trainer; skipping endgame (next session reruns it)"
+  exit 0
+fi
 OUT="$EVIDENCE/endgame" DATA="$SET" RUN="$RUN" tools/endgame.sh "$TRAINER"
 gcommit "bigrun: endgame evaluation reports" "$EVIDENCE"
 echo "[bigrun $(stamp)] all done"

@@ -16,6 +16,13 @@
 #
 # Usage: nohup tools/endgame.sh [TRAINER_PID] > /tmp/endgame.log 2>&1 &
 set -u
+# bench.py drops this sentinel when it quiesces the trainer at round end:
+# the benchmark owns the chip, so the eval chain must not start (a later
+# session reruns the endgame from the committed checkpoint).
+if [ -f /tmp/bigrun_skip_endgame ]; then
+  echo "[endgame] /tmp/bigrun_skip_endgame present (bench owns the chip); exiting"
+  exit 0
+fi
 PID=${1:-$(cat /tmp/bigrun.pid)}
 OUT=${OUT:-/root/data/endgame}
 DATA=${DATA:-/root/data/lm_syn}
