@@ -43,7 +43,7 @@ echo "[endgame] trainer exited; newest snapshot: $CKPT"
 # first at the default threshold, then thresholds at the best K.
 for K in 32 64 128 256; do
   echo "[endgame] valmid sweep K=$K"
-  timeout 1200 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+  timeout 2700 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
     --set-name valmid --ransac-top-k "$K" \
     --report-json "$OUT/valmid_k${K}_t0.5.json" > "$OUT/valmid_k${K}_t0.5.log" 2>&1
 done
@@ -68,7 +68,7 @@ PY
 read -r BESTK _ <<<"$(pick_best)"
 for T in 0.4 0.3; do
   echo "[endgame] valmid sweep K=$BESTK thr=$T"
-  timeout 1200 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+  timeout 2700 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
     --set-name valmid --ransac-top-k "$BESTK" --score-threshold "$T" \
     --report-json "$OUT/valmid_k${BESTK}_t$T.json" > "$OUT/valmid_k${BESTK}_t$T.log" 2>&1
 done
