@@ -59,7 +59,7 @@ class GroundTruth(NamedTuple):
 def preprocess_images(images_u8: jnp.ndarray) -> jnp.ndarray:
     """uint8 RGB -> float32 mean-subtracted (reference 'caffe' mode,
     utils/image.py:35-62). Runs on device as part of the jitted step."""
-    mean = jnp.asarray(CAFFE_MEAN_RGB, jnp.float32)
+    mean = np.asarray(CAFFE_MEAN_RGB, np.float32)  # host constant
     return images_u8.astype(jnp.float32) - mean
 
 
@@ -74,7 +74,9 @@ def targets_from_poses(
     quaternion->matrix + projection loop (anchors.py:207-215) becomes one
     batched einsum + projection.
     """
-    anchors = jnp.asarray(anchors_for_shape(config.image_shape, config.anchors))
+    # host constant (numpy): avoids a device commit mid-trace + a tunnel
+    # fetch at MLIR lowering on remote-attached TPUs (see inference.py)
+    anchors = anchors_for_shape(config.image_shape, config.anchors)
     safe_labels = jnp.clip(gt.labels, 0, corners3d.shape[0] - 1)
     obj_corners = jnp.take(corners3d, safe_labels, axis=0)  # (K, 8, 3)
     corners16 = project_box3d(obj_corners, gt.rot, gt.trans, gt.cam[None, :])
@@ -92,7 +94,7 @@ def targets_from_poses(
 
 def make_target_fn(corners3d: np.ndarray, config: PipelineConfig):
     """Batched jitted target generator: GroundTruth (B-leading) -> Targets."""
-    corners = jnp.asarray(corners3d)
+    corners = np.asarray(corners3d, np.float32)  # host constant
 
     @jax.jit
     def fn(gt: GroundTruth) -> Targets:

@@ -118,12 +118,14 @@ def make_add_fn(model_points: np.ndarray, diameters: np.ndarray, symmetric: tupl
     for symmetric classes) against the estimated pose, and compare with
     0.1 x diameter. Fixed shapes throughout: classes without GT are masked.
     """
-    points = jnp.asarray(model_points)  # (C, P, 3)
-    dia = jnp.asarray(diameters)
+    # host constants (numpy): closed-over jax.Arrays would be fetched back
+    # through the remote-TPU tunnel during MLIR lowering (see inference.py)
+    points = np.asarray(model_points, np.float32)  # (C, P, 3)
+    dia = np.asarray(diameters, np.float32)
     num_classes = points.shape[0]
-    sym_mask = jnp.zeros((num_classes,), bool)
+    sym_mask = np.zeros((num_classes,), bool)
     if symmetric:
-        sym_mask = sym_mask.at[jnp.asarray(symmetric)].set(True)
+        sym_mask[np.asarray(symmetric)] = True
 
     @jax.jit
     def score(poses: PoseResult, gt_rot, gt_trans, gt_labels, gt_valid):
@@ -133,10 +135,13 @@ def make_add_fn(model_points: np.ndarray, diameters: np.ndarray, symmetric: tupl
             slot = jnp.argmax(match)  # first matching instance
             rg = gt_rot[slot]
             tg = gt_trans[slot]
-            err_add = add_metric(poses.rot[c], poses.trans[c], rg, tg, points[c])
-            err_adi = adi_metric(poses.rot[c], poses.trans[c], rg, tg, points[c])
-            err = jnp.where(sym_mask[c], err_adi, err_add)
-            correct = err < 0.1 * dia[c]
+            # jnp.take keeps the numpy tables as host-side jaxpr constants
+            # while indexing with the vmapped tracer `c`
+            pts_c = jnp.take(points, c, axis=0)
+            err_add = add_metric(poses.rot[c], poses.trans[c], rg, tg, pts_c)
+            err_adi = adi_metric(poses.rot[c], poses.trans[c], rg, tg, pts_c)
+            err = jnp.where(jnp.take(sym_mask, c), err_adi, err_add)
+            correct = err < 0.1 * jnp.take(dia, c)
             return has_gt, correct, err
 
         cs = jnp.arange(num_classes)
@@ -157,11 +162,11 @@ def make_instance_err_fn(
     (round-1 VERDICT weak #2; reference multi-object loops
     occlusion_eval.py:221-540, tless_eval.py:371-436).
     """
-    points = jnp.asarray(model_points)  # (C, P, 3)
+    points = np.asarray(model_points, np.float32)  # (C, P, 3)
     num_classes = points.shape[0]
-    sym_mask = jnp.zeros((num_classes,), bool)
+    sym_mask = np.zeros((num_classes,), bool)
     if symmetric:
-        sym_mask = sym_mask.at[jnp.asarray(symmetric)].set(True)
+        sym_mask[np.asarray(symmetric)] = True
 
     @jax.jit
     def err_table(rot, trans, gt_rot, gt_trans):
@@ -174,7 +179,7 @@ def make_instance_err_fn(
                 def per_slot(rg, tg):
                     e_add = add_metric(r, t, rg, tg, pts)
                     e_adi = adi_metric(r, t, rg, tg, pts)
-                    return jnp.where(sym_mask[c], e_adi, e_add)
+                    return jnp.where(jnp.take(sym_mask, c), e_adi, e_add)
 
                 return jax.vmap(per_slot)(gt_rot, gt_trans)  # (K,)
 
@@ -210,11 +215,10 @@ def make_icp_refine_fn(
         icp_point_to_plane,
     )
 
-    points = jnp.asarray(model_points, jnp.float32)  # (C, P, 3)
-    normals = jnp.asarray(
-        np.stack([estimate_normals_host(p) for p in np.asarray(model_points)]),
-        jnp.float32,
-    )
+    points = np.asarray(model_points, np.float32)  # (C, P, 3)
+    normals = np.stack(
+        [estimate_normals_host(p) for p in np.asarray(model_points)]
+    ).astype(np.float32)
 
     @jax.jit
     def refine(poses: PoseResult, masks_p3, depth, cam):

@@ -209,14 +209,14 @@ def evaluate_tless(
         model_points = spec.corners3d
     scorer = make_tless_scorer(model_points, spec.diameters)
     rep = TlessReport(spec.num_classes)
-    corners = jnp.asarray(spec.corners3d)
+    corners = np.asarray(spec.corners3d, np.float32)  # host constant
 
     vsd_fn = jax.jit(
         lambda re_, te_, rg, tg, pts, dep, cam: vsd_metric(
             re_, te_, rg, tg, pts, dep, cam, vsd_delta, vsd_tau
         )
     )
-    points_mm = jnp.asarray(model_points) * 1000.0
+    points_mm = np.asarray(model_points, np.float32) * 1000.0  # host constant
 
     per_image = jax.vmap(scorer, in_axes=(0, 0, None, 0, 0, 0))
 

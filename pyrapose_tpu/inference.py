@@ -56,8 +56,14 @@ def build_inference_fn(
     """
     from pyrapose_tpu.pose.ransac import precompute_class_solvers
 
-    corners = jnp.asarray(corners3d)
-    anchors = jnp.asarray(anchors_for_shape(image_shape, model.config.anchors))
+    # keep build-time tables as HOST (numpy) arrays: a closed-over jax.Array
+    # is committed to the device at build and then fetched back during MLIR
+    # lowering to embed as a program constant — on a remote-attached TPU
+    # that is a tunnel round-trip per constant (a cold evaluate was observed
+    # blocked >20 min in _array_mlir_constant_handler). numpy constants
+    # embed directly from host memory; the compiled program is identical.
+    corners = np.asarray(corners3d, np.float32)
+    anchors = anchors_for_shape(image_shape, model.config.anchors)
     # per-class EPnP constants hoisted to the host (corners are static)
     precomp = precompute_class_solvers(corners3d)
 

@@ -149,7 +149,8 @@ def decode_predictions(
         scores:  (B, N, C) sigmoid class probabilities
         masks:   (B, P3, C) sigmoid mask probabilities
     """
-    anchors = jnp.asarray(anchors_for_shape(image_shape, config.anchors))
+    # host constant: numpy embeds at lowering without a device round-trip
+    anchors = anchors_for_shape(image_shape, config.anchors)
     boxes3d = decode_box3d(anchors[None], outputs["box3d"])
     return {
         "boxes3d": boxes3d,

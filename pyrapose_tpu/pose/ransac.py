@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pyrapose_tpu.pose.epnp import epnp, epnp_fast, epnp_precompute
 from pyrapose_tpu.pose.refine import refine_pose
@@ -366,8 +367,11 @@ def class_multi_poses_select(
         score = seed_score.at[0].set(jnp.max(cls_scores))
         return rot0, trans0, weights, votes, valid, num_votes, score, inlier_frac
 
+    # host constants: vmap accepts numpy operands directly; a jnp.asarray
+    # here would commit the tables to the device mid-trace and force a
+    # tunnel fetch at lowering (see inference.build_inference_fn)
     pre = (
-        {k: jnp.asarray(v) for k, v in precomp.items()}
+        {k: np.asarray(v) for k, v in precomp.items()}
         if precomp is not None
         else None
     )

@@ -279,7 +279,9 @@ def _fused_step_body(corners3d, pipe_config, augment_seed: int | None,
     if affine is not None and augment_seed is None:
         raise ValueError("affine augmentation requires augment_seed")
 
-    corners = jnp.asarray(corners3d)
+    # host constant: embedded at lowering without a device round-trip
+    # (see inference.build_inference_fn — remote-TPU constant fetches)
+    corners = np.asarray(corners3d, np.float32)
 
     def fused_step(state: TrainState, images_u8, gt):
         images = images_u8.astype(jnp.float32)
