@@ -38,6 +38,11 @@ from pyrapose_tpu.models import ModelConfig, PyraPose
 
 BASELINE_IMG_S_PER_CHIP = 250.0  # north star: 2000 img/s on v5e-8
 
+
+class _Budget(Exception):
+    """Raised between optional bench arms when the wall-clock budget is
+    spent; skips the remaining arms but keeps everything measured so far."""
+
 # bf16 peak matmul throughput per chip, for the MFU estimate.
 _PEAK_TFLOPS = {
     "v5 lite": 197.0,  # TPU v5e
@@ -134,7 +139,19 @@ def _bench_host_loader(n_frames: int = 24) -> dict:
         return out
 
 
-def _quiesce_trainer() -> None:
+def _pid_is_trainer(pid: int) -> bool:
+    """True if `pid` looks like a pyrapose trainer (guards against a stale
+    /tmp/bigrun.pid whose pid was recycled by an unrelated process — we must
+    neither signal nor wait on a stranger)."""
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+            cmdline = fh.read().decode("utf-8", "replace")
+    except OSError:
+        return True  # no /proc (non-Linux test env): keep legacy behavior
+    return "pyrapose" in cmdline
+
+
+def _quiesce_trainer(max_wait_s: float = 900.0) -> None:
     """Gracefully stop a live bigrun trainer before benchmarking.
 
     A long-running `tools/bigrun.sh` training holds ~10 GB of the chip's
@@ -143,8 +160,11 @@ def _quiesce_trainer() -> None:
     after saving a checkpoint (cli/train.py stop_file), so the bench asks
     it to stop and waits for the HBM to free. A /tmp sentinel also tells
     the bigrun driver to skip its post-training eval chain (which would
-    otherwise start contending the moment the trainer exits). Engaged only
-    on real accelerators — the CPU smoke test must never stop a trainer.
+    otherwise start contending the moment the trainer exits); main()
+    removes that sentinel again when benchmarking finishes, and the
+    bigrun/endgame scripts treat a sentinel older than 1 h as stale, so a
+    killed bench cannot block eval chains forever. Engaged only on real
+    accelerators — the CPU smoke test must never stop a trainer.
     """
     import sys
 
@@ -158,20 +178,34 @@ def _quiesce_trainer() -> None:
         os.kill(pid, 0)  # raises if dead
     except (OSError, ValueError):
         return
+    if not _pid_is_trainer(pid):
+        print(
+            f"bench: pid {pid} from {pid_file} is not a pyrapose trainer "
+            "(recycled pid?); skipping quiesce",
+            file=sys.stderr,
+        )
+        return
     skip_file = os.environ.get(
         "BENCH_SKIP_ENDGAME_FILE", "/tmp/bigrun_skip_endgame"
     )
     try:
-        open(skip_file, "w").close()
+        # STOP first: if anything below fails we must not leave the skip
+        # sentinel behind with the trainer still running (ADVICE r2)
         open(os.path.join(run_dir, "STOP"), "w").close()
+        open(skip_file, "w").close()
     except OSError as exc:
         print(f"bench: cannot signal trainer stop: {exc}", file=sys.stderr)
+        try:
+            os.remove(skip_file)
+        except OSError:
+            pass
         return
     print(
         f"bench: live trainer pid {pid}; requested graceful STOP, waiting",
         file=sys.stderr,
     )
-    for _ in range(450):  # <= 15 min; STOP is polled every few steps
+    t_end = time.monotonic() + max_wait_s
+    while time.monotonic() < t_end:  # STOP is polled every few steps
         time.sleep(2)
         try:
             os.kill(pid, 0)
@@ -180,13 +214,47 @@ def _quiesce_trainer() -> None:
             print("bench: trainer stopped; chip free", file=sys.stderr)
             return
     print(
-        "bench: trainer still alive after 15 min; benchmarking anyway",
+        f"bench: trainer still alive after {max_wait_s:.0f}s; "
+        "benchmarking anyway",
         file=sys.stderr,
     )
 
 
+def _clear_skip_sentinel() -> None:
+    """Ownership transfer back: the bench is done with the chip, so later
+    bigrun/endgame sessions may use it again (ADVICE r2: the sentinel was
+    never cleared and permanently blocked the eval chain)."""
+    skip_file = os.environ.get(
+        "BENCH_SKIP_ENDGAME_FILE", "/tmp/bigrun_skip_endgame"
+    )
+    try:
+        os.remove(skip_file)
+    except OSError:
+        pass
+
+
 def main() -> None:
-    _quiesce_trainer()
+    # One overall wall-clock budget (VERDICT r2: the un-budgeted bench hit
+    # the driver timeout and produced ZERO evidence). The headline JSON is
+    # printed the moment it is measured; every optional arm after it is
+    # gated on remaining budget, and a final JSON line re-prints the
+    # headline plus whatever extras fit. Either way at least one parseable
+    # line reaches stdout long before any sane driver timeout.
+    t_start = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    deadline = t_start + budget
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    try:
+        _main_timed(remaining)
+    finally:
+        _clear_skip_sentinel()
+
+
+def _main_timed(remaining) -> None:
+    _quiesce_trainer(max_wait_s=max(min(900.0, remaining() * 0.5), 30.0))
     # defaults from the v5e batch sweep: inference throughput still rises at
     # 64 (513 -> 529 -> 542 img/s/chip for 16/32/64); the fused train step
     # peaks at 16 (146/153/131 for 8/16/32 — HBM pressure past 16)
@@ -229,45 +297,6 @@ def main() -> None:
     )
     img_s_chip = batch / dt_full / max(n_chips, 1)
 
-    # --- int8 PTQ conv stack (models/quantize.py) ----------------------------
-    try:
-        from pyrapose_tpu.models.quantize import (
-            quantize_variables,
-            strip_quantized_kernels,
-        )
-
-        qtable = quantize_variables(variables)
-        qvars = strip_quantized_kernels(variables, qtable)
-        infer_q = build_inference_fn(
-            model, spec.corners3d, (H, W), qtable=qtable
-        )
-        dt_q = _time(
-            infer_q, (qvars, images, cam), iters, warmup,
-            lambda out: (out[0].rot, out[1]["scores"]),
-        )
-        extras_int8 = round(batch / dt_q / max(n_chips, 1), 2)
-
-        # static calibration: fixed activation scales drop the per-conv
-        # abs-max pass (models/quantize.calibrate_activation_scales)
-        from pyrapose_tpu.data.pipeline import preprocess_images
-        from pyrapose_tpu.models.quantize import calibrate_activation_scales
-
-        calib = calibrate_activation_scales(
-            model, variables, qtable,
-            preprocess_images(images[: min(batch, 8)]), train=False,
-        )
-        infer_qs = build_inference_fn(
-            model, spec.corners3d, (H, W), qtable=calib
-        )
-        dt_qs = _time(
-            infer_qs, (qvars, images, cam), iters, warmup,
-            lambda out: (out[0].rot, out[1]["scores"]),
-        )
-        extras_int8_static = round(batch / dt_qs / max(n_chips, 1), 2)
-    except Exception as exc:
-        extras_int8 = None
-        extras_int8_err = str(exc)[:200]
-
     # --- network + decode only (stage breakdown) ----------------------------
     dt_net = _time(
         net_only, (variables, images, cam), iters, warmup,
@@ -285,11 +314,6 @@ def main() -> None:
         # sandbox's core count it is a lower bound, not the TPU-VM number
         "host_cores": os.cpu_count(),
     }
-    if extras_int8 is not None:
-        extras["img_s_per_chip_int8"] = extras_int8
-        extras["img_s_per_chip_int8_static"] = extras_int8_static
-    else:
-        extras["int8_error"] = extras_int8_err
 
     # --- forward FLOPs + MFU -------------------------------------------------
     try:
@@ -308,8 +332,82 @@ def main() -> None:
     except Exception:
         pass
 
+    def emit(partial: bool) -> None:
+        line = {
+            "metric": "img_s_per_chip_e2e_480x640",
+            "value": round(img_s_chip, 2),
+            "unit": "img/s/chip",
+            "vs_baseline": round(img_s_chip / BASELINE_IMG_S_PER_CHIP, 4),
+            **extras,
+        }
+        if partial:
+            line["partial"] = True
+        print(json.dumps(line), flush=True)
+
+    # headline out NOW — a later timeout/OOM can no longer zero the round's
+    # evidence. The final emit() repeats it with every extra that fit.
+    emit(partial=True)
+
+    skipped_arms: list = []
+
+    def arm_fits(name: str, floor_s: float = 240.0) -> bool:
+        """Gate an optional arm on remaining budget. floor_s is a coarse
+        worst-case (compile + measure) estimate; a cold XLA cache can still
+        blow through it, which is why the headline is already printed."""
+        if remaining() >= floor_s:
+            return True
+        skipped_arms.append(name)
+        extras["skipped_arms"] = skipped_arms
+        return False
+
+    # --- int8 PTQ conv stack (models/quantize.py) ----------------------------
+    if arm_fits("int8"):
+        try:
+            from pyrapose_tpu.models.quantize import (
+                quantize_variables,
+                strip_quantized_kernels,
+            )
+
+            qtable = quantize_variables(variables)
+            qvars = strip_quantized_kernels(variables, qtable)
+            infer_q = build_inference_fn(
+                model, spec.corners3d, (H, W), qtable=qtable
+            )
+            dt_q = _time(
+                infer_q, (qvars, images, cam), iters, warmup,
+                lambda out: (out[0].rot, out[1]["scores"]),
+            )
+            extras["img_s_per_chip_int8"] = round(
+                batch / dt_q / max(n_chips, 1), 2
+            )
+
+            # static calibration: fixed activation scales drop the per-conv
+            # abs-max pass (models/quantize.calibrate_activation_scales)
+            if arm_fits("int8_static"):
+                from pyrapose_tpu.data.pipeline import preprocess_images
+                from pyrapose_tpu.models.quantize import (
+                    calibrate_activation_scales,
+                )
+
+                calib = calibrate_activation_scales(
+                    model, variables, qtable,
+                    preprocess_images(images[: min(batch, 8)]), train=False,
+                )
+                infer_qs = build_inference_fn(
+                    model, spec.corners3d, (H, W), qtable=calib
+                )
+                dt_qs = _time(
+                    infer_qs, (qvars, images, cam), iters, warmup,
+                    lambda out: (out[0].rot, out[1]["scores"]),
+                )
+                extras["img_s_per_chip_int8_static"] = round(
+                    batch / dt_qs / max(n_chips, 1), 2
+                )
+        except Exception as exc:
+            extras["int8_error"] = str(exc)[:200]
+
     # --- fused training step throughput --------------------------------------
-    if with_train:
+    if with_train and arm_fits("train", 360.0):
         try:
             import dataclasses
 
@@ -355,10 +453,17 @@ def main() -> None:
                 train_batch / dt_train / max(use, 1), 2
             )
 
+            # budget checkpoints between sub-arms: raising _Budget skips
+            # the rest of the train arms but keeps everything measured so far
+            def _arm_gate(name: str, floor_s: float = 180.0) -> None:
+                if not arm_fits(name, floor_s):
+                    raise _Budget
+
             # --- real host-loader training throughput -----------------------
             # threaded decode/augment workers + double-buffered device_put,
             # the path `pyrapose train` actually runs (cli/train.py) — shows
             # the host pipeline keeps the chip fed vs the pre-staged number
+            _arm_gate("train_hostloader")
             from pyrapose_tpu.data.prefetch import HostPrefetcher, device_prefetch
 
             ds_h = SyntheticPoseDataset(
@@ -385,6 +490,7 @@ def main() -> None:
             # --- HBM-cached training throughput -----------------------------
             # the `--device-cache` path: dataset staged in HBM, minibatch
             # gathered inside the jitted step; host sends index vectors only
+            _arm_gate("train_cached")
             from pyrapose_tpu.data.device_cache import DeviceCache
             from pyrapose_tpu.train.step import make_cached_train_step
 
@@ -473,14 +579,15 @@ def main() -> None:
                 sweep_batches = [train_batch, 32, 64]
             frozen_sweep = {}
             for b in dict.fromkeys(sweep_batches):
+                _arm_gate(f"train_frozen_b{b}")
                 r = _time_train_arm(b, freeze=True, remat=False)
                 if r is not None:
                     frozen_sweep[str(b)] = r
-            if frozen_sweep:
-                extras["train_img_s_per_chip_frozen_backbone"] = max(
-                    frozen_sweep.values()
-                )
-                extras["train_frozen_sweep"] = frozen_sweep
+                if frozen_sweep:
+                    extras["train_img_s_per_chip_frozen_backbone"] = max(
+                        frozen_sweep.values()
+                    )
+                    extras["train_frozen_sweep"] = frozen_sweep
             # full backward at batch 32 with block remat: trades ~1 extra
             # block forward for the activation footprint that made plain
             # batch 32 regress (131 vs 153 img/s at r1)
@@ -488,9 +595,12 @@ def main() -> None:
                 rb = int(os.environ.get("BENCH_TRAIN_REMAT_BATCH",
                                         str(max(sweep_batches))
                                         if "," in sweep_env else "32"))
+                _arm_gate(f"train_remat{rb}")
                 r32 = _time_train_arm(rb, freeze=False, remat=True)
                 if r32 is not None:
                     extras[f"train_img_s_per_chip_remat{rb}"] = r32
+        except _Budget:
+            pass
         except Exception as exc:  # keep the headline alive
             extras["train_error"] = str(exc)[:200]
 
@@ -500,22 +610,13 @@ def main() -> None:
     # so the host requirement is explicit: feeding one chip at N img/s needs
     # ceil(N / loader_img_s_per_core) cores (+ the decoded-frame cache
     # variant shows the steady-state cost once --cache-images holds the set).
-    try:
-        extras.update(_bench_host_loader())
-    except Exception as exc:
-        extras["loader_error"] = str(exc)[:200]
+    if arm_fits("host_loader", 90.0):
+        try:
+            extras.update(_bench_host_loader())
+        except Exception as exc:
+            extras["loader_error"] = str(exc)[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "img_s_per_chip_e2e_480x640",
-                "value": round(img_s_chip, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(img_s_chip / BASELINE_IMG_S_PER_CHIP, 4),
-                **extras,
-            }
-        )
-    )
+    emit(partial=False)
 
 
 if __name__ == "__main__":

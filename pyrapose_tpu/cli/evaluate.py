@@ -107,9 +107,14 @@ def run_evaluate(args) -> int:
             use_icp = False
 
         def batches():
-            yield from ds.epoch_batches(
+            limit = getattr(args, "eval_samples", None)
+            n_batches = None if not limit else max(limit // args.batch_size, 1)
+            for j, batch in enumerate(ds.epoch_batches(
                 args.batch_size, shuffle=False, with_depth=with_depth
-            )
+            )):
+                if n_batches is not None and j >= n_batches:
+                    break
+                yield batch
 
     model_points = (
         load_model_points(args.data_path, spec) if args.data_path else None

@@ -321,6 +321,12 @@ def build_parser() -> argparse.ArgumentParser:
         "at O(K) step cost. 32 is tuned for sharp (converged) models",
     )
     e.add_argument(
+        "--eval-samples", type=int, default=None, metavar="N",
+        help="cap the evaluation at the first N images of the split "
+        "(rounded down to whole batches). Default: the whole split. "
+        "Use for quick sanity gates, e.g. train-split recall checks",
+    )
+    e.add_argument(
         "--report-json", default=None, metavar="FILE",
         help="also write the evaluation report (per-class recall/precision/"
         "detection + means) as JSON — machine-readable twin of the printed "

@@ -28,7 +28,9 @@ def fake_trainer(tmp_path, monkeypatch):
         [
             sys.executable,
             "-c",
-            "import os,sys,time\n"
+            # the literal 'pyrapose' below lands in /proc/<pid>/cmdline so
+            # bench._pid_is_trainer accepts this stand-in as a real trainer
+            "import os,sys,time  # pyrapose_tpu trainer stand-in\n"
             f"stop = os.path.join({str(run_dir)!r}, 'STOP')\n"
             "for _ in range(600):\n"
             "    if os.path.exists(stop): sys.exit(0)\n"
@@ -58,7 +60,9 @@ def test_quiesce_noops_on_cpu(fake_trainer, monkeypatch):
     assert not (run_dir / "STOP").exists()
 
 
-def test_quiesce_stops_live_trainer(fake_trainer, monkeypatch):
+def test_quiesce_stops_live_trainer(fake_trainer, monkeypatch, capsys):
+    import threading
+
     import bench
 
     proc, run_dir = fake_trainer
@@ -67,9 +71,44 @@ def test_quiesce_stops_live_trainer(fake_trainer, monkeypatch):
     monkeypatch.setattr(
         bench.time, "sleep", lambda s: real_sleep(min(s, 0.1))
     )
-    bench._quiesce_trainer()
+    # reap the child concurrently: without this the exited trainer stays a
+    # zombie of the pytest process and os.kill(pid, 0) keeps succeeding, so
+    # the pid-death branch under test would never fire (ADVICE r2)
+    reaper = threading.Thread(target=proc.wait, daemon=True)
+    reaper.start()
+    bench._quiesce_trainer(max_wait_s=30.0)
+    reaper.join(timeout=10)
     assert (run_dir / "STOP").exists()
     assert proc.poll() == 0  # exited via the sentinel before bench proceeded
+    # the pid-death detection branch itself must have fired — not the
+    # "still alive, benchmarking anyway" fallback
+    assert "trainer stopped; chip free" in capsys.readouterr().err
+
+
+def test_quiesce_skips_recycled_pid(tmp_path, monkeypatch):
+    """A stale pid file pointing at a live NON-trainer process must neither
+    signal it nor wait on it (ADVICE r2: recycled-pid hazard)."""
+    import bench
+
+    bystander = subprocess.Popen(
+        [sys.executable, "-c", "import time; time.sleep(60)"]
+    )
+    try:
+        pid_file = tmp_path / "bigrun.pid"
+        pid_file.write_text(str(bystander.pid))
+        monkeypatch.setenv("BENCH_TRAINER_PID_FILE", str(pid_file))
+        monkeypatch.setenv("BENCH_TRAINER_RUN", str(tmp_path))
+        monkeypatch.setenv(
+            "BENCH_SKIP_ENDGAME_FILE", str(tmp_path / "skip_endgame")
+        )
+        monkeypatch.setattr(bench.jax, "default_backend", lambda: "tpu")
+        bench._quiesce_trainer(max_wait_s=5.0)
+        assert not (tmp_path / "STOP").exists()
+        assert not (tmp_path / "skip_endgame").exists()
+        assert bystander.poll() is None  # untouched
+    finally:
+        bystander.kill()
+        bystander.wait()
 
 
 def test_quiesce_ignores_dead_pid(tmp_path, monkeypatch):

@@ -1,11 +1,16 @@
 """bench.py smoke test.
 
 The driver runs `python bench.py` unattended on real TPU hardware at the end
-of every round; a crash there loses the round's perf evidence. This runs the
-whole script end-to-end on the virtual CPU mesh at 64x64 / tiny batches and
-checks the one-line JSON contract plus the presence of every extras family
-(breakdown, int8, train arms incl. the frozen-backbone batch sweep, host
-loader). Perf *values* are meaningless on CPU — only the schema is asserted.
+of every round; a crash OR timeout there loses the round's perf evidence
+(round 2 lost it to a timeout: BENCH_r02.json rc=124, parsed=null). This runs
+the whole script end-to-end on the virtual CPU mesh at 64x64 / tiny batches
+and checks the headline-first JSON contract: the FIRST line is the headline
+(printed the moment it is measured, marked partial), the LAST line repeats it
+with every optional-arm extra (breakdown, int8, train arms incl. the
+frozen-backbone batch sweep, host loader). A driver that parses the last
+JSON-looking line of the tail gets the full record; one that hits its timeout
+mid-arms still finds the headline. Perf *values* are meaningless on CPU —
+only the schema is asserted.
 """
 
 import json
@@ -39,8 +44,14 @@ def test_bench_runs_end_to_end_and_prints_one_json_line():
     )
     assert out.returncode == 0, out.stderr[-3000:]
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
-    assert len(lines) == 1, f"expected ONE JSON line, got: {out.stdout!r}"
-    rec = json.loads(lines[0])
+    assert len(lines) == 2, f"expected headline + final JSON lines, got: {out.stdout!r}"
+    head = json.loads(lines[0])
+    assert head["partial"] is True
+    assert head["metric"] == "img_s_per_chip_e2e_480x640"
+    assert head["value"] > 0
+    rec = json.loads(lines[-1])
+    assert "partial" not in rec
+    assert "skipped_arms" not in rec  # full budget: every arm must run
 
     # driver contract
     assert rec["metric"] == "img_s_per_chip_e2e_480x640"
@@ -70,3 +81,38 @@ def test_bench_runs_end_to_end_and_prints_one_json_line():
     # host loader decode throughput
     assert rec["loader_img_s_per_core"] > 0
     assert rec["loader_cached_img_s_per_core"] > 0
+
+
+@pytest.mark.slow
+def test_bench_zero_budget_still_prints_headline():
+    """With the budget already spent, every optional arm is skipped but both
+    JSON lines still carry a valid headline (VERDICT r2 item 2: a timeout
+    must never zero the round's perf evidence)."""
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "BENCH_H": "64",
+        "BENCH_W": "64",
+        "BENCH_BATCH": "2",
+        "BENCH_ITERS": "1",
+        "BENCH_WARMUP": "1",
+        "BENCH_BUDGET_S": "0",
+    }
+    out = subprocess.run(
+        [sys.executable, "bench.py"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 2
+    head = json.loads(lines[0])
+    assert head["partial"] is True and head["value"] > 0
+    rec = json.loads(lines[-1])
+    assert rec["value"] > 0 and rec["metric"] == "img_s_per_chip_e2e_480x640"
+    # every optional arm was skipped, and says so
+    assert "int8" in rec["skipped_arms"]
+    assert "train" in rec["skipped_arms"]
+    assert "host_loader" in rec["skipped_arms"]
+    assert "img_s_per_chip_int8" not in rec
+    assert "train_img_s_per_chip" not in rec

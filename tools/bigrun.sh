@@ -129,9 +129,17 @@ done
 # /tmp/bigrun_skip_endgame so neither a restarted trainer nor the endgame
 # eval chain contends with the benchmark for the chip.
 if [ -f /tmp/bigrun_skip_endgame ]; then
-  echo "[bigrun $(stamp)] /tmp/bigrun_skip_endgame present (bench owns the chip); exiting"
-  snap_ckpt
-  exit 0
+  # bench.py removes the sentinel when it finishes; one older than ~1 h
+  # means the bench died mid-run — treat it as stale (ADVICE r2: the
+  # sentinel used to persist forever and block every later session)
+  if [ -n "$(find /tmp/bigrun_skip_endgame -mmin +60 2>/dev/null)" ]; then
+    echo "[bigrun $(stamp)] stale skip_endgame sentinel (>1h old); clearing"
+    rm -f /tmp/bigrun_skip_endgame
+  else
+    echo "[bigrun $(stamp)] /tmp/bigrun_skip_endgame present (bench owns the chip); exiting"
+    snap_ckpt
+    exit 0
+  fi
 fi
 echo "[bigrun $(stamp)] training: $EPOCHS epochs x 5000-frame chunks"
 python -m pyrapose_tpu.cli.main train linemod "$SET" \

@@ -20,8 +20,14 @@ set -u
 # the benchmark owns the chip, so the eval chain must not start (a later
 # session reruns the endgame from the committed checkpoint).
 if [ -f /tmp/bigrun_skip_endgame ]; then
-  echo "[endgame] /tmp/bigrun_skip_endgame present (bench owns the chip); exiting"
-  exit 0
+  # bench.py clears this on completion; >1h old means a dead bench (stale)
+  if [ -n "$(find /tmp/bigrun_skip_endgame -mmin +60 2>/dev/null)" ]; then
+    echo "[endgame] stale skip_endgame sentinel (>1h old); clearing"
+    rm -f /tmp/bigrun_skip_endgame
+  else
+    echo "[endgame] /tmp/bigrun_skip_endgame present (bench owns the chip); exiting"
+    exit 0
+  fi
 fi
 PID=${1:-$(cat /tmp/bigrun.pid)}
 OUT=${OUT:-/root/data/endgame}
