@@ -213,6 +213,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max validation images per train-time eval")
     t.add_argument("--val-set-name", default="val")
     t.add_argument(
+        "--eval-ransac-top-k", type=int, default=128, metavar="K",
+        help="--ransac-top-k used by the in-training eval (default 128: a "
+        "soft mid-training model needs more vote averaging than the sharp-"
+        "model default of 32 the evaluate CLI uses)",
+    )
+    t.add_argument(
+        "--eval-score-threshold", type=float, default=0.3,
+        help="score threshold for the in-training eval (default 0.3, the "
+        "low end of the endgame sweep; the reference evaluates at 0.5)",
+    )
+    t.add_argument(
         "--profile-dir", default=None,
         help="write a jax.profiler trace of a steady-state step window here",
     )

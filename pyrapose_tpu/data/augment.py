@@ -110,7 +110,14 @@ def transform_aabb(matrix: np.ndarray, aabb: np.ndarray) -> np.ndarray:
 def compensate_pose(
     matrix: np.ndarray, trans: np.ndarray, cam: np.ndarray
 ) -> np.ndarray:
-    """Adjust object translation for the image affine (image.py:230-248)."""
+    """Adjust object translation for the image affine (image.py:230-248).
+
+    The reference's approximation — kept as documentation of its behavior
+    and for parity tests. The training paths use `transform_cam` instead:
+    translation-only compensation cannot express the viewpoint change of a
+    lateral shift (the reference's own comment notes the missing rotation
+    term, image.py:238-240) and mis-places corner targets by several px.
+    """
     fx, fy, cx, cy = cam
     s = matrix[0, 0]
     x, y, z = trans
@@ -118,6 +125,20 @@ def compensate_pose(
     x2 = x + ((matrix[0, 2] + (cx * s - cx)) * z2) / fx
     y2 = y + ((matrix[1, 2] + (cy * s - cy)) * z2) / fy
     return np.array([x2, y2, z2], trans.dtype)
+
+
+def transform_cam(matrix: np.ndarray, cam: np.ndarray) -> np.ndarray:
+    """Fold the affine into the intrinsics: dst = s*src + b of a pinhole
+    image is exactly the image rendered with fx' = s*fx, cx' = s*cx + bx
+    (same for y) and an unchanged pose, so corner targets projected with
+    the new intrinsics land exactly on the warped pixels (see
+    device_affine.transform_gt for the derivation and measurements)."""
+    fx, fy, cx, cy = cam
+    s = matrix[0, 0]
+    return np.array(
+        [fx * s, fy * s, cx * s + matrix[0, 2], cy * s + matrix[1, 2]],
+        np.asarray(cam).dtype,
+    )
 
 
 def photometric_augment(rng: np.random.Generator, image: np.ndarray) -> np.ndarray:
@@ -185,12 +206,14 @@ def augment_sample(
     cam: np.ndarray,
     mask: np.ndarray | None,
     config: AugmentConfig = AugmentConfig(),
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray | None, np.ndarray, np.ndarray]:
     """Full training augmentation of one sample.
 
-    Returns (image, boxes, trans, mask, keep): `keep` marks annotations whose
-    transformed bbox stays fully inside the image (reference
-    filter_annotations, generator.py:163-221).
+    Returns (image, boxes, trans, mask, keep, cam): `keep` marks annotations
+    whose transformed bbox stays fully inside the image (reference
+    filter_annotations, generator.py:163-221); `cam` is the affine folded
+    into the intrinsics (transform_cam) — poses are returned UNCHANGED so
+    corner targets projected with the new cam are exact on the warped image.
     """
     h, w = image.shape[:2]
     m = random_affine(rng, (h, w), config)
@@ -200,9 +223,8 @@ def augment_sample(
     if mask is not None:
         mask = warp_image(mask, m, nearest=True)
     new_boxes = np.stack([transform_aabb(m, b) for b in boxes]) if len(boxes) else boxes
-    new_trans = (
-        np.stack([compensate_pose(m, t, cam) for t in trans]) if len(trans) else trans
-    )
+    new_trans = trans
+    new_cam = transform_cam(m, cam)
     if len(new_boxes):
         keep = (
             (new_boxes[:, 2] > new_boxes[:, 0])
@@ -214,4 +236,4 @@ def augment_sample(
         )
     else:
         keep = np.zeros((0,), bool)
-    return image, new_boxes, new_trans, mask, keep
+    return image, new_boxes, new_trans, mask, keep, new_cam

@@ -298,7 +298,10 @@ class BopDataset:
 
         do_aug = self.augment is not None if augment is None else augment
         if do_aug and len(boxes):
-            image, boxes, transs, mask_img, keep = augment_sample(
+            # the affine is folded into `cam` (augment.transform_cam);
+            # poses come back unchanged and stay exactly consistent with
+            # the warped pixels under projection with the new intrinsics
+            image, boxes, transs, mask_img, keep, cam = augment_sample(
                 self.rng, image, boxes, transs, cam, mask_img, self.augment
             )
             boxes, rots, transs = boxes[keep], rots[keep], transs[keep]

@@ -111,7 +111,26 @@ def transform_gt(
     gt: GroundTruth, image_shape: tuple[int, int], p3_shape: tuple[int, int],
     s, bx, by,
 ) -> GroundTruth:
-    """Apply the sampled affine to one image's GroundTruth."""
+    """Apply the sampled affine to one image's GroundTruth.
+
+    The warp is folded into the INTRINSICS, not the pose: an affine
+    dst = s*src + b of a pinhole image is exactly the image rendered with
+    fx' = s*fx, cx' = s*cx + bx (same for y) and an UNCHANGED pose —
+    u' = fx'*X/Z + cx' = s*(fx*X/Z + cx) + bx = s*u + bx for every point.
+    Downstream target generation projects corners with gt.cam (which is
+    per-image anyway), so the 16-coordinate targets land exactly on the
+    warped pixels.
+
+    The reference instead compensates the object TRANSLATION for the warp
+    (image.py:230-248) and recomputes targets from that pose; translation
+    cannot express the viewpoint change (its own comment notes the missing
+    rotation compensation, image.py:238-240), which mis-places corner
+    targets by up to ~18 px at the aug extremes (measured median 7.6 px on
+    rendered LineMOD — the r2 flagship's ~30 px corner-error floor). The
+    exact 2D corner transform the reference left commented out
+    (generator.py:257 transform_box3d) is equivalent to this intrinsics
+    fold, so this is the same quantity computed exactly, TPU-side.
+    """
     h, w = image_shape
     fx, fy, cx, cy = gt.cam[0], gt.cam[1], gt.cam[2], gt.cam[3]
 
@@ -121,11 +140,7 @@ def transform_gt(
     y2 = s * gt.boxes[:, 3] + by
     boxes = jnp.stack([x1, y1, x2, y2], axis=1)
 
-    # pose compensation (reference image.py:230-248, augment.compensate_pose)
-    z2 = gt.trans[:, 2] / s
-    tx2 = gt.trans[:, 0] + ((bx + (cx * s - cx)) * z2) / fx
-    ty2 = gt.trans[:, 1] + ((by + (cy * s - cy)) * z2) / fy
-    trans = jnp.stack([tx2, ty2, z2], axis=1)
+    cam = jnp.stack([fx * s, fy * s, cx * s + bx, cy * s + by])
 
     keep = (
         (x2 > x1) & (y2 > y1)
@@ -133,7 +148,7 @@ def transform_gt(
     )
     valid = gt.valid & keep
     slots = warp_slots(gt.mask_slots, p3_shape, s, bx, by)
-    return gt._replace(boxes=boxes, trans=trans, valid=valid, mask_slots=slots)
+    return gt._replace(boxes=boxes, cam=cam, valid=valid, mask_slots=slots)
 
 
 def affine_batch(

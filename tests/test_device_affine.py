@@ -101,7 +101,7 @@ class TestTransformGT:
             mask_slots=jnp.asarray(slots),
         )
 
-    def test_matches_host_box_and_pose_math(self):
+    def test_matches_host_box_math_and_intrinsics_fold(self):
         gt = self._gt()
         s, bx, by = 1.1, 6.0, -3.0
         m = _matrix(s, bx, by)
@@ -112,15 +112,53 @@ class TestTransformGT:
                 transform_aabb(m, np.asarray(gt.boxes[i])),
                 rtol=1e-5,
             )
-            np.testing.assert_allclose(
-                np.asarray(out.trans[i]),
-                compensate_pose(m, np.asarray(gt.trans[i]), np.asarray(gt.cam)),
-                rtol=1e-5,
-            )
-        # rotation, labels, cam are untouched (reference disables rotation
-        # augmentation; intrinsics absorb nothing — poses compensate)
+        # pose and rotation are UNTOUCHED; the affine is folded into the
+        # intrinsics instead (host twin: augment.transform_cam)
+        from pyrapose_tpu.data.augment import transform_cam
+
         np.testing.assert_array_equal(np.asarray(out.rot), np.asarray(gt.rot))
-        np.testing.assert_array_equal(np.asarray(out.cam), np.asarray(gt.cam))
+        np.testing.assert_array_equal(np.asarray(out.trans), np.asarray(gt.trans))
+        np.testing.assert_allclose(
+            np.asarray(out.cam), transform_cam(m, np.asarray(gt.cam)),
+            rtol=1e-6,
+        )
+
+    def test_corner_targets_exact_under_affine(self):
+        """The load-bearing property: projecting the UNCHANGED pose with the
+        folded intrinsics lands exactly on the affine image of the original
+        projection — i.e. augmented corner targets sit on the warped pixels.
+        The reference's translation-only compensation (compensate_pose,
+        image.py:230-248) misses this by several px at the aug extremes."""
+        from pyrapose_tpu.geometry.projection import project_box3d
+
+        gt = self._gt()
+        corners = jnp.asarray(
+            np.random.default_rng(3).uniform(-0.05, 0.05, (8, 3)).astype(np.float32)
+        )
+        for s, bx, by in [(1.2, 12.0, -9.0), (0.8, -7.0, 5.0)]:
+            out = transform_gt(gt, (H, W), (H // 8, W // 8), s, bx, by)
+            for i in range(2):
+                orig = np.asarray(
+                    project_box3d(corners, gt.rot[i], gt.trans[i], gt.cam)
+                ).reshape(8, 2)
+                new = np.asarray(
+                    project_box3d(corners, out.rot[i], out.trans[i], out.cam)
+                ).reshape(8, 2)
+                np.testing.assert_allclose(
+                    new, orig * s + np.array([bx, by]), rtol=0, atol=1e-3
+                )
+                # the reference's compensated pose does NOT have this
+                # property (the gap this redesign removes)
+                comp = compensate_pose(
+                    _matrix(s, bx, by), np.asarray(gt.trans[i]),
+                    np.asarray(gt.cam),
+                )
+                ref = np.asarray(
+                    project_box3d(
+                        corners, gt.rot[i], jnp.asarray(comp), gt.cam
+                    )
+                ).reshape(8, 2)
+                assert np.abs(ref - (orig * s + np.array([bx, by]))).max() > 0.05
 
     def test_keep_filter_clears_valid(self):
         gt = self._gt()
@@ -199,9 +237,11 @@ class TestAffineBatch:
         out_img, out_gt = affine_batch(
             jax.random.PRNGKey(1), imgs, jax.tree_util.tree_map(jnp.asarray, gt)
         )
-        # two different affines on the same frame -> different pixels + poses
+        # two different affines on the same frame -> different pixels +
+        # different folded intrinsics (poses are untouched by design)
         assert float(jnp.abs(out_img[0] - out_img[1]).max()) > 1.0
-        assert float(jnp.abs(out_gt.trans[0] - out_gt.trans[1]).max()) > 1e-4
+        assert float(jnp.abs(out_gt.cam[0] - out_gt.cam[1]).max()) > 1e-4
+        assert float(jnp.abs(out_gt.trans[0] - out_gt.trans[1]).max()) == 0.0
 
     def test_sample_affine_respects_ranges(self):
         cfg = AugmentConfig()

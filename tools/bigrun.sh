@@ -23,9 +23,9 @@ DATA=${DATA:-/root/data}
 MESHES=$DATA/meshes
 SET=$DATA/lm_syn
 RUN=$DATA/bigrun
-EVIDENCE=${EVIDENCE:-$REPO/runs_evidence/r2}
+EVIDENCE=${EVIDENCE:-$REPO/runs_evidence/r3}
 N_TRAIN=${N_TRAIN:-20000}
-EPOCHS=${EPOCHS:-480}           # x5000-frame chunks = 2.4M images seen
+EPOCHS=${EPOCHS:-170}           # x5000-frame chunks; cosine horizon that COMPLETES in-round
 mkdir -p "$EVIDENCE" "$DATA" "$RUN"
 
 stamp() { date -u +%FT%TZ; }
@@ -150,7 +150,7 @@ python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --device-cache-prefetch \
   --snapshot-path "$RUN" --auto-resume --save-epochs 10 \
   --keep-checkpoints 4 \
-  --eval-every 20 --eval-samples 64 --val-set-name valmid \
+  --eval-every 10 --eval-samples 64 --val-set-name valmid \
   --stall-timeout 1200 --supervise 60 \
   >> "$EVIDENCE/train.log" 2>&1 &
 TRAINER=$!

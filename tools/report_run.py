@@ -17,12 +17,27 @@ import sys
 
 
 def load(path: str) -> list[dict]:
-    recs = []
+    """Parse metrics.jsonl, deduping supervised-restart replays.
+
+    The trainer appends; after a --supervise restart it resumes from the
+    last checkpoint and re-logs the epochs since (VERDICT r2 weak #4: the
+    r2 log has epoch 73, then 71-73 again). Keep the LAST row per
+    (epoch, step) key and return rows sorted by step so the trajectory is
+    monotonic across restarts.
+    """
+    by_key: dict = {}
+    order = 0
     with open(path) as f:
         for ln in f:
             ln = ln.strip()
-            if ln:
-                recs.append(json.loads(ln))
+            if not ln:
+                continue
+            rec = json.loads(ln)
+            key = (rec.get("epoch"), rec.get("step"))
+            by_key[key] = (order, rec)  # later rows win
+            order += 1
+    recs = [rec for _, rec in by_key.values()]
+    recs.sort(key=lambda r: (r.get("step") or 0, r.get("epoch") or 0))
     return recs
 
 
