@@ -150,6 +150,42 @@ def _epoch_schedule(dataset_len, batch_size, steps, epoch, seed):
     return idx
 
 
+def compute_cache_chunks(
+    n: int, cache_frames: int, seed: int
+) -> "np.ndarray":
+    """(n_chunks, cache_frames) index table for --device-cache-rotate.
+
+    Equal-size chunks of one seed-keyed permutation; the active chunk is a
+    pure function of the epoch ((epoch // rotate) % n_chunks), so
+    resume/restart re-derives it with no state. The tail chunk wraps
+    around to the permutation's head so every chunk has exactly
+    cache_frames rows -> steps_per_epoch and the resume arithmetic stay
+    constant across rotations. Shared with tools/prestage_chunks.py, which
+    must reproduce the exact same tables to pre-build the decoded stores.
+    """
+    perm = np.random.default_rng(seed).permutation(n)
+    n_chunks = -(-n // cache_frames)
+    pad = n_chunks * cache_frames - n
+    if pad:
+        perm = np.concatenate([perm, perm[:pad]])
+    return perm.reshape(n_chunks, cache_frames)
+
+
+def cache_disk_key(image_shape, sub_dataset) -> str:
+    """Content-identity string for a decoded-store .npz (same-SIZE but
+    different-CONTENT caches — another --seed's subset, another letterbox
+    geometry — must re-decode, not silently train on stale frames)."""
+    import hashlib
+
+    idx = getattr(sub_dataset, "indices", None)
+    subset = (
+        "full" if idx is None else hashlib.sha1(
+            np.sort(np.asarray(idx, np.int64)).tobytes()
+        ).hexdigest()[:16]
+    )
+    return f"shape={tuple(image_shape)}|n={len(sub_dataset)}|subset={subset}"
+
+
 class _EvalRunner:
     """In-training ADD(-S) eval with everything reusable cached.
 
@@ -440,18 +476,10 @@ def run_train(args) -> int:
         from pyrapose_tpu.data.device_cache import SubsetDataset
 
         if cache_rotate > 0:
-            # Equal-size chunks of one seed-keyed permutation; the active
-            # chunk is a pure function of the epoch ((epoch // rotate) %
-            # n_chunks), so resume/restart re-derives it with no state.
-            # The tail chunk wraps around to the permutation's head so
-            # every chunk has exactly cache_frames rows -> steps_per_epoch
-            # and the resume arithmetic stay constant across rotations.
-            perm = np.random.default_rng(args.seed).permutation(len(dataset))
-            n_chunks = -(-len(dataset) // cache_frames)
-            pad = n_chunks * cache_frames - len(dataset)
-            if pad:
-                perm = np.concatenate([perm, perm[:pad]])
-            subset_chunks = perm.reshape(n_chunks, cache_frames)
+            subset_chunks = compute_cache_chunks(
+                len(dataset), cache_frames, args.seed
+            )
+            n_chunks = len(subset_chunks)
             dataset = SubsetDataset(full_dataset, np.sort(subset_chunks[0]))
             print(
                 f"--device-cache-rotate: {n_chunks} chunks x "
@@ -527,21 +555,7 @@ def run_train(args) -> int:
             disk_cache = None
             if args.snapshot_path and args.dataset != "synthetic":
                 disk_cache = os.path.join(args.snapshot_path, disk_name)
-            # content key: same-SIZE but different-CONTENT caches (another
-            # --seed's subset, another letterbox geometry) must re-decode,
-            # not silently train on the previous run's frames
-            import hashlib
-
-            idx = getattr(sub_dataset, "indices", None)
-            subset = (
-                "full" if idx is None else hashlib.sha1(
-                    np.sort(np.asarray(idx, np.int64)).tobytes()
-                ).hexdigest()[:16]
-            )
-            disk_key = (
-                f"shape={tuple(spec.image_shape)}|n={len(sub_dataset)}"
-                f"|subset={subset}"
-            )
+            disk_key = cache_disk_key(spec.image_shape, sub_dataset)
             return DeviceCache.build(
                 sub_dataset, mesh=mesh, num_workers=workers,
                 disk_cache=disk_cache,

@@ -119,6 +119,15 @@ for s in valmid val train; do
   [ -f "$SET/annotations/${s}_done" ] || { echo "[bigrun] render $s FAILED"; exit 1; }
 done
 
+# --- 1b. pre-build every rotation chunk's decoded .npz (host-only work) ------
+# Without this the FIRST visit of each chunk blocks training on a minutes-
+# long single-core PNG decode (r2: epochs at 4.5-46 img/s vs 129 steady
+# state). Skips chunks that already exist, so restarts are free.
+echo "[bigrun $(stamp)] pre-staging device-cache chunks"
+python tools/prestage_chunks.py "$SET" "$RUN" --cache-frames 5000 --seed 0 \
+  >> "$EVIDENCE/prestage.log" 2>&1 \
+  || echo "[bigrun $(stamp)] WARNING: prestage failed (trainer will decode inline)"
+
 # --- 2. train (docs/USAGE.md from-scratch recipe, HBM chunk rotation) --------
 # 5000-frame chunks (5 GB) + prefetch keep peak cache residency 10 GB of the
 # 16 GB HBM; rotate every 2 epochs -> full 20k coverage each 8 epochs.
