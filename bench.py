@@ -27,6 +27,15 @@ os.environ.setdefault(
 )
 
 import jax
+
+# honor JAX_PLATFORMS even when a sitecustomize pre-imported jax and
+# registered a remote-TPU backend (then the env var alone is a no-op):
+# without this, the "CPU" bench smoke subprocess actually runs on the real
+# chip — and its quiesce path gracefully STOPs any live trainer it finds
+# (this stopped a live flagship training run once; never again)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -28,6 +28,7 @@ def test_bench_runs_end_to_end_and_prints_one_json_line():
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
+        "BENCH_NO_QUIESCE": "1",  # belt-and-braces: never touch a live trainer
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         "BENCH_H": "64",
         "BENCH_W": "64",
@@ -91,6 +92,7 @@ def test_bench_zero_budget_still_prints_headline():
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
+        "BENCH_NO_QUIESCE": "1",  # belt-and-braces: never touch a live trainer
         "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
         "BENCH_H": "64",
         "BENCH_W": "64",
