@@ -112,7 +112,7 @@ python tools/report_run.py "$RUN" > "$OUT/report_run.md" 2>&1
 
 # --- 6. fresh bench on the idle chip ---------------------------------------
 echo "[endgame] bench.py"
-timeout 2400 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
+BENCH_BUDGET_S=2000 timeout 2400 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
 
 echo "$CKPT" > "$OUT/CKPT"
 date -u +%FT%TZ > "$OUT/DONE"
