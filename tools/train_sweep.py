@@ -39,14 +39,14 @@ def _peak_tflops() -> float | None:
 
 def measure(batch: int, remat: bool, iters: int, profile_dir: str | None = None):
     from pyrapose_tpu.data.pipeline import PipelineConfig
-    from pyrapose_tpu.data.spec import get_spec
+    from pyrapose_tpu.data.spec import dataset_spec
     from pyrapose_tpu.data.synthetic import SyntheticPoseDataset
     from pyrapose_tpu.models import ModelConfig
     from pyrapose_tpu.parallel import create_mesh
     from pyrapose_tpu.train import create_train_state
     from pyrapose_tpu.train.step import make_fused_train_step
 
-    spec = dataclasses.replace(get_spec("linemod"), image_shape=(480, 640))
+    spec = dataclasses.replace(dataset_spec("linemod"), image_shape=(480, 640))
     pipe = PipelineConfig(image_shape=(480, 640), num_classes=spec.num_classes)
     config = ModelConfig(num_classes=spec.num_classes, backbone="resnet50",
                          remat=remat)
