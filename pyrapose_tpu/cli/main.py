@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
         "at higher LR; the reference's 1e-5 fine-tune needs none)",
     )
     t.add_argument(
+        "--box-loss-weight", type=float, default=1.0, metavar="W",
+        help="extra multiplier on the 3D-box regression loss term (1.0 = "
+        "the reference's equal compile, bin/train.py:95-102). On "
+        "from-scratch runs classification saturates ~10x faster than the "
+        "corner regression; raising this rebalances the shared-backbone "
+        "gradient toward localization. Reported loss_box3d stays "
+        "unweighted for cross-run comparability",
+    )
+    t.add_argument(
         "--train-bn", action="store_true",
         help="LIVE BatchNorm: normalize by batch statistics and update the "
         "running averages (sync-BN across the DP mesh via GSPMD). The "

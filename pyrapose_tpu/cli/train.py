@@ -449,6 +449,9 @@ def run_train(args) -> int:
         and not args.no_augment
         and args.dataset != "synthetic"
     )
+    box_weight = getattr(args, "box_loss_weight", 1.0) or 1.0
+    if box_weight != 1.0:
+        print(f"--box-loss-weight {box_weight}: 3D-box term upweighted")
     if use_cache:
         from pyrapose_tpu.train.step import make_cached_train_step
 
@@ -458,12 +461,14 @@ def run_train(args) -> int:
             mesh, spec.corners3d, pipe, donate=True,
             augment_seed=args.seed if device_aug else None,
             affine=AugmentConfig() if device_aug else None,
+            box_weight=box_weight,
         )
     else:
         step_fn = make_fused_train_step(
             mesh, spec.corners3d, pipe, donate=True,
             augment_seed=args.seed if device_aug else None,
             affine=AugmentConfig() if device_aug else None,
+            box_weight=box_weight,
         )
     dataset = _build_dataset(
         args, spec, augment=not args.no_augment and not use_cache

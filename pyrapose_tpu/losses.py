@@ -242,6 +242,7 @@ def smooth_l1_xy_loss(
 def total_loss(
     outputs: dict[str, jnp.ndarray],
     targets: dict[str, jnp.ndarray],
+    box_weight: float = 1.0,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Combined training loss, as compiled by the reference train script
     (bin/train.py:95-102): {'3Dbox': orthogonal_l1, 'cls': focal,
@@ -250,6 +251,12 @@ def total_loss(
     Args:
         outputs: model outputs {box3d, cls_logits, mask_logits}.
         targets: {regression (B,N,17), labels (B,N,C+1), mask (B,P,C+1)}.
+        box_weight: extra multiplier on the 3D-box regression term
+            (1.0 = the reference's equal loss compile). Classification
+            saturates long before the corner regression on from-scratch
+            runs; raising this shifts the shared-backbone gradient toward
+            localization. The reported loss_box3d stays UNWEIGHTED so loss
+            curves are comparable across weights.
 
     Returns:
         (total, {per-term scalars}).
@@ -257,5 +264,5 @@ def total_loss(
     l_box = orthogonal_l1_loss(targets["regression"], outputs["box3d"])
     l_cls = focal_loss(targets["labels"], outputs["cls_logits"])
     l_mask = focal_loss(targets["mask"], outputs["mask_logits"])
-    total = l_box + l_cls + l_mask
+    total = box_weight * l_box + l_cls + l_mask
     return total, {"loss": total, "loss_box3d": l_box, "loss_cls": l_cls, "loss_mask": l_mask}

@@ -188,9 +188,13 @@ def _box3d_head_l2(params: Any, coeff: float = HEAD_L2) -> jnp.ndarray:
 
 
 def train_step(
-    state: TrainState, batch: dict[str, jnp.ndarray]
+    state: TrainState, batch: dict[str, jnp.ndarray],
+    box_weight: float = 1.0,
 ) -> tuple[TrainState, dict[str, jnp.ndarray]]:
-    """One SGD step. batch = {images, labels, regression, mask}."""
+    """One SGD step. batch = {images, labels, regression, mask}.
+
+    box_weight: see losses.total_loss — static multiplier on the 3D-box
+    regression term (1.0 = reference loss compile)."""
 
     def loss_fn(params):
         if state.freeze_stem or state.freeze_backbone:
@@ -215,7 +219,7 @@ def train_step(
         else:
             outputs = state.apply_fn(variables, batch["images"], train=True)
             new_stats = state.batch_stats
-        loss, parts = total_loss(outputs, batch)
+        loss, parts = total_loss(outputs, batch, box_weight=box_weight)
         if state.head_l2:
             loss = loss + _box3d_head_l2(params, state.head_l2)
         return loss, (parts, new_stats)
@@ -254,7 +258,8 @@ def make_sharded_train_step(mesh: Mesh, donate: bool = True):
 
 
 def _fused_step_body(corners3d, pipe_config, augment_seed: int | None,
-                     affine: "AugmentConfig | None" = None):
+                     affine: "AugmentConfig | None" = None,
+                     box_weight: float = 1.0):
     """(state, images_u8, gt) -> (state, parts): normalization, optional
     on-device photometric + affine augmentation, anchor-target generation,
     and the optimizer update — one traceable body shared by the loader-fed
@@ -309,7 +314,7 @@ def _fused_step_body(corners3d, pipe_config, augment_seed: int | None,
             "regression": targets.regression,
             "mask": targets.mask,
         }
-        return train_step(state, batch)
+        return train_step(state, batch, box_weight=box_weight)
 
     return fused_step
 
@@ -321,6 +326,7 @@ def make_fused_train_step(
     donate: bool = True,
     augment_seed: int | None = None,
     affine: "AugmentConfig | None" = None,
+    box_weight: float = 1.0,
 ):
     """jit a train step that takes RAW loader output: (state, images_u8, gt).
 
@@ -338,7 +344,7 @@ def make_fused_train_step(
     from pyrapose_tpu.parallel.mesh import image_sharding
 
     fused_step = _fused_step_body(corners3d, pipe_config, augment_seed,
-                                  affine)
+                                  affine, box_weight)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
     # On a 2-D (data x spatial) mesh the image rows are additionally split
@@ -361,6 +367,7 @@ def make_cached_train_step(
     donate: bool = True,
     augment_seed: int | None = None,
     affine: "AugmentConfig | None" = None,
+    box_weight: float = 1.0,
 ):
     """jit a train step that gathers its minibatch from an HBM-resident
     dataset cache INSIDE the program: fn(state, images_cache, gt_cache, idx).
@@ -375,7 +382,8 @@ def make_cached_train_step(
 
     from pyrapose_tpu.parallel.mesh import image_sharding
 
-    fused = _fused_step_body(corners3d, pipe_config, augment_seed, affine)
+    fused = _fused_step_body(corners3d, pipe_config, augment_seed, affine,
+                             box_weight)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
     images_sharded = image_sharding(mesh)
