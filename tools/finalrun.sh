@@ -1,0 +1,118 @@
+#!/bin/bash
+# Round-3 accuracy-evidence run: NO-AUGMENT warm restart.
+#
+# Why this recipe (measured, tools/corner_error.py, runs_evidence/r3):
+# - the augmented 480x640 from-scratch run converged its corner regression
+#   to only ~23 px median on its OWN training images by epoch 90 (val 26 px
+#   — no generalization gap), an optimization-speed ceiling, not a data or
+#   decode problem (GT-votes oracle recalls 1.0; 200-image no-augment
+#   overfit reaches mean recall 0.387 / median ADD-d 0.133);
+# - train and val come from the SAME closed synthetic renderer
+#   distribution, so the scale/shift/photometric augmentation buys no
+#   domain transfer here — it only makes the sub-pixel regression task
+#   harder. Dropping it is the one lever that changed the overfit outcome.
+# - warm restart from the epoch-90 checkpoint (features already detect at
+#   0.96) with a re-warmed cosine gives the anneal the corner tail needs.
+#
+# Same durability contract as bigrun.sh: evidence commits every ~30 min,
+# checkpoint tarball snapshots, restore-on-reprovision.
+#
+# Usage: nohup tools/finalrun.sh > /tmp/finalrun_driver.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+REPO=$PWD
+DATA=${DATA:-/root/data}
+SET=$DATA/lm_syn
+RUN=$DATA/final
+EVIDENCE=${EVIDENCE:-$REPO/runs_evidence/r3final}
+EPOCHS=${EPOCHS:-140}
+LR=${LR:-2e-4}
+mkdir -p "$EVIDENCE" "$RUN"
+
+stamp() { date -u +%FT%TZ; }
+
+gcommit() {
+  local msg=$1; shift
+  local i
+  for i in 1 2 3; do
+    git add -A -- "$@" >/dev/null 2>&1
+    if git commit -q -m "$msg" -- "$@" >/dev/null 2>&1; then
+      echo "[finalrun $(stamp)] committed: $msg"
+      return 0
+    fi
+    git status --porcelain -- "$@" 2>/dev/null | grep -q . || return 0
+    sleep 11
+  done
+  echo "[finalrun $(stamp)] WARNING: commit failed: $msg"
+  return 1
+}
+
+snap_ckpt() {
+  local ck name
+  ck=$(ls -d "$RUN"/step_* 2>/dev/null | grep -v tmp | sort | tail -1)
+  [ -n "$ck" ] || return 0
+  name=$(basename "$ck")
+  [ "$name" = "step_00000000" ] && return 0   # the seed ckpt is already in git
+  [ "$(cat "$EVIDENCE/ckpt_latest.name" 2>/dev/null)" = "$name" ] && return 0
+  echo "[finalrun $(stamp)] snapshotting checkpoint $name"
+  tar -C "$RUN" -cf "$EVIDENCE/ckpt_latest.tar.tmp" "$name" \
+    && mv -f "$EVIDENCE/ckpt_latest.tar.tmp" "$EVIDENCE/ckpt_latest.tar" \
+    && echo "$name" > "$EVIDENCE/ckpt_latest.name" \
+    && gcommit "finalrun: durable checkpoint snapshot $name" \
+         "$EVIDENCE/ckpt_latest.tar" "$EVIDENCE/ckpt_latest.name"
+}
+
+# restore after VM re-provisioning
+if ! ls "$RUN"/step_* >/dev/null 2>&1 && [ -f "$EVIDENCE/ckpt_latest.tar" ]; then
+  echo "[finalrun $(stamp)] restoring committed checkpoint"
+  tar -C "$RUN" -xf "$EVIDENCE/ckpt_latest.tar"
+  [ -f "$RUN/metrics.jsonl" ] || cp -f "$EVIDENCE/metrics.jsonl" "$RUN/metrics.jsonl" 2>/dev/null
+fi
+
+committer() {
+  local i=0
+  while :; do
+    sleep 300
+    i=$((i + 1))
+    cp -f "$RUN/metrics.jsonl" "$EVIDENCE/metrics.jsonl" 2>/dev/null
+    tail -40 "$EVIDENCE/train.log" > "$EVIDENCE/train_tail.log" 2>/dev/null
+    if [ $((i % 6)) -eq 0 ]; then
+      gcommit "finalrun: live evidence snapshot" "$EVIDENCE"
+    fi
+    if [ $((i % 24)) -eq 0 ]; then
+      snap_ckpt
+    fi
+  done
+}
+committer & COMMITTER=$!
+trap 'kill "$COMMITTER" 2>/dev/null' EXIT
+
+echo "[finalrun $(stamp)] training: $EPOCHS epochs, no-augment warm restart, lr $LR"
+python -m pyrapose_tpu.cli.main train linemod "$SET" \
+  --batch-size 16 --epochs "$EPOCHS" --lr "$LR" \
+  --warmup-epochs 2 --cosine-decay --head-l2 0 \
+  --no-freeze-stem --train-bn --no-augment \
+  --device-cache --device-cache-frames 5000 --device-cache-rotate 2 \
+  --device-cache-prefetch \
+  --snapshot-path "$RUN" --auto-resume --save-epochs 10 \
+  --keep-checkpoints 4 \
+  --eval-every 10 --eval-samples 64 --val-set-name valmid \
+  --stall-timeout 1200 --supervise 60 \
+  >> "$EVIDENCE/train.log" 2>&1 &
+TRAINER=$!
+echo $TRAINER > /tmp/bigrun.pid
+echo "[finalrun $(stamp)] trainer pid $TRAINER"
+
+wait "$TRAINER"; RC=$?
+cp -f "$RUN/metrics.jsonl" "$EVIDENCE/metrics.jsonl" 2>/dev/null
+echo "[finalrun $(stamp)] trainer exited rc=$RC"
+snap_ckpt
+gcommit "finalrun: training finished (rc=$RC), final evidence" "$EVIDENCE"
+
+if [ -f /tmp/bigrun_skip_endgame ]; then
+  echo "[finalrun $(stamp)] bench owns the chip; skipping endgame"
+  exit 0
+fi
+OUT="$EVIDENCE/endgame" DATA="$SET" RUN="$RUN" tools/endgame.sh "$TRAINER"
+gcommit "finalrun: endgame evaluation reports" "$EVIDENCE"
+echo "[finalrun $(stamp)] all done"
