@@ -13,6 +13,14 @@
 #   harder. Dropping it is the one lever that changed the overfit outcome.
 # - warm restart from the epoch-90 checkpoint (features already detect at
 #   0.96) with a re-warmed cosine gives the anneal the corner tail needs.
+# - FROZEN BN (no --train-bn): tools/loss_probe.py on the warm checkpoint
+#   measured raw-targets loss 2.09 under running stats vs 7.40 under batch
+#   stats — the weights co-adapted to PHOTOMETRIC-augmented batch statistics,
+#   so train-mode BN on clean images is an internal distribution shift that
+#   burns ~15 epochs re-adapting (first attempt: box3d stuck 3.77→3.71 over
+#   6 epochs). Freezing BN at the accumulated running stats is exactly the
+#   reference's fine-tune regime (models/resnet.py:87) and starts the run at
+#   the checkpoint's true loss level.
 #
 # Same durability contract as bigrun.sh: evidence commits every ~30 min,
 # checkpoint tarball snapshots, restore-on-reprovision.
@@ -91,7 +99,7 @@ echo "[finalrun $(stamp)] training: $EPOCHS epochs, no-augment warm restart, lr 
 python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --batch-size 16 --epochs "$EPOCHS" --lr "$LR" \
   --warmup-epochs 2 --cosine-decay --head-l2 0 \
-  --no-freeze-stem --train-bn --no-augment \
+  --no-freeze-stem --no-augment \
   --device-cache --device-cache-frames 5000 --device-cache-rotate 2 \
   --device-cache-prefetch \
   --snapshot-path "$RUN" --auto-resume --save-epochs 10 \
