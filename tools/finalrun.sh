@@ -105,7 +105,7 @@ python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --snapshot-path "$RUN" --auto-resume --save-epochs 10 \
   --keep-checkpoints 4 \
   --eval-every 10 --eval-samples 64 --val-set-name valmid \
-  --stall-timeout 1200 --supervise 60 \
+  --stall-timeout 1200 --supervise 60 --rss-restart-gb 80 \
   >> "$EVIDENCE/train.log" 2>&1 &
 TRAINER=$!
 echo $TRAINER > /tmp/bigrun.pid
