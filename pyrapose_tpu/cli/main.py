@@ -88,6 +88,16 @@ def build_parser() -> argparse.ArgumentParser:
         "at higher LR; the reference's 1e-5 fine-tune needs none)",
     )
     t.add_argument(
+        "--augment-geometric-only", action="store_true",
+        help="keep the geometric (affine) augmentation but skip the "
+        "photometric soup. The affine warp is the regularizer the dense "
+        "corner regression needs against per-view memorization "
+        "(tools/corner_bias.py: no-augment overfits 8 px train / 27 px "
+        "val); the photometric soup is what shifts BatchNorm batch "
+        "statistics (tools/loss_probe.py), so frozen-BN warm restarts "
+        "want geometry-only. Device-cache path only",
+    )
+    t.add_argument(
         "--box-loss-weight", type=float, default=1.0, metavar="W",
         help="extra multiplier on the 3D-box regression loss term (1.0 = "
         "the reference's equal compile, bin/train.py:95-102). On "

@@ -452,6 +452,12 @@ def run_train(args) -> int:
     box_weight = getattr(args, "box_loss_weight", 1.0) or 1.0
     if box_weight != 1.0:
         print(f"--box-loss-weight {box_weight}: 3D-box term upweighted")
+    geo_only = getattr(args, "augment_geometric_only", False)
+    if geo_only and not device_aug:
+        print("NOTE: --augment-geometric-only has no effect "
+              "(augmentation is off or on the host path)")
+    if device_aug and geo_only:
+        print("--augment-geometric-only: affine on, photometric off")
     if use_cache:
         from pyrapose_tpu.train.step import make_cached_train_step
 
@@ -462,6 +468,7 @@ def run_train(args) -> int:
             augment_seed=args.seed if device_aug else None,
             affine=AugmentConfig() if device_aug else None,
             box_weight=box_weight,
+            photometric=not geo_only,
         )
     else:
         step_fn = make_fused_train_step(
@@ -469,6 +476,7 @@ def run_train(args) -> int:
             augment_seed=args.seed if device_aug else None,
             affine=AugmentConfig() if device_aug else None,
             box_weight=box_weight,
+            photometric=not geo_only,
         )
     dataset = _build_dataset(
         args, spec, augment=not args.no_augment and not use_cache

@@ -259,7 +259,8 @@ def make_sharded_train_step(mesh: Mesh, donate: bool = True):
 
 def _fused_step_body(corners3d, pipe_config, augment_seed: int | None,
                      affine: "AugmentConfig | None" = None,
-                     box_weight: float = 1.0):
+                     box_weight: float = 1.0,
+                     photometric: bool = True):
     """(state, images_u8, gt) -> (state, parts): normalization, optional
     on-device photometric + affine augmentation, anchor-target generation,
     and the optimizer update — one traceable body shared by the loader-fed
@@ -298,8 +299,9 @@ def _fused_step_body(corners3d, pipe_config, augment_seed: int | None,
             )
             # split only when affine is on: keeps the photometric stream
             # bit-identical for existing affine-less runs
-            pkey = key if affine is None else jax.random.fold_in(key, 0)
-            images = photometric_batch(pkey, images)
+            if photometric:
+                pkey = key if affine is None else jax.random.fold_in(key, 0)
+                images = photometric_batch(pkey, images)
             if affine is not None:
                 from pyrapose_tpu.data.device_affine import affine_batch
 
@@ -327,6 +329,7 @@ def make_fused_train_step(
     augment_seed: int | None = None,
     affine: "AugmentConfig | None" = None,
     box_weight: float = 1.0,
+    photometric: bool = True,
 ):
     """jit a train step that takes RAW loader output: (state, images_u8, gt).
 
@@ -344,7 +347,7 @@ def make_fused_train_step(
     from pyrapose_tpu.parallel.mesh import image_sharding
 
     fused_step = _fused_step_body(corners3d, pipe_config, augment_seed,
-                                  affine, box_weight)
+                                  affine, box_weight, photometric)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
     # On a 2-D (data x spatial) mesh the image rows are additionally split
@@ -368,6 +371,7 @@ def make_cached_train_step(
     augment_seed: int | None = None,
     affine: "AugmentConfig | None" = None,
     box_weight: float = 1.0,
+    photometric: bool = True,
 ):
     """jit a train step that gathers its minibatch from an HBM-resident
     dataset cache INSIDE the program: fn(state, images_cache, gt_cache, idx).
@@ -383,7 +387,7 @@ def make_cached_train_step(
     from pyrapose_tpu.parallel.mesh import image_sharding
 
     fused = _fused_step_body(corners3d, pipe_config, augment_seed, affine,
-                             box_weight)
+                             box_weight, photometric)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
     images_sharded = image_sharding(mesh)
