@@ -31,10 +31,12 @@ cd "$(dirname "$0")/.."
 REPO=$PWD
 DATA=${DATA:-/root/data}
 SET=$DATA/lm_syn
-RUN=$DATA/final
+RUN=${RUN:-$DATA/final}
 EVIDENCE=${EVIDENCE:-$REPO/runs_evidence/r3final}
 EPOCHS=${EPOCHS:-140}
 LR=${LR:-2e-4}
+WARMUP=${WARMUP:-2}
+AUG_FLAGS=${AUG_FLAGS:---no-augment}
 mkdir -p "$EVIDENCE" "$RUN"
 
 stamp() { date -u +%FT%TZ; }
@@ -95,11 +97,11 @@ committer() {
 committer & COMMITTER=$!
 trap 'kill "$COMMITTER" 2>/dev/null' EXIT
 
-echo "[finalrun $(stamp)] training: $EPOCHS epochs, no-augment warm restart, lr $LR"
+echo "[finalrun $(stamp)] training: $EPOCHS epochs, $AUG_FLAGS warm restart, lr $LR"
 python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --batch-size 16 --epochs "$EPOCHS" --lr "$LR" \
-  --warmup-epochs 2 --cosine-decay --head-l2 0 \
-  --no-freeze-stem --no-augment \
+  --warmup-epochs "$WARMUP" --cosine-decay --head-l2 0 \
+  --no-freeze-stem $AUG_FLAGS \
   --device-cache --device-cache-frames 5000 --device-cache-rotate 2 \
   --device-cache-prefetch \
   --snapshot-path "$RUN" --auto-resume --save-epochs 10 \
