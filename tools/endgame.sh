@@ -88,6 +88,18 @@ timeout 3600 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
   --set-name val --ransac-top-k "$BESTK" --score-threshold "$BESTT" \
   --report-json "$OUT/val_k${BESTK}_t$BESTT.json" > "$OUT/val_k${BESTK}_t$BESTT.log" 2>&1
 
+# --- 2b. train-split capacity report ----------------------------------------
+# Separates "pipeline/capacity" from "generalization": with the GT-votes
+# oracle at recall 1.0, train-split recall bounds what the regression has
+# LEARNED; the val report above is what it GENERALIZES. (corner_bias.py
+# r3: 8 px train vs 27 px val median under no-augment.)
+echo "[endgame] train-split report, K=$BESTK thr=$BESTT"
+timeout 2700 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+  --set-name train --eval-samples 256 \
+  --ransac-top-k "$BESTK" --score-threshold "$BESTT" \
+  --report-json "$OUT/train256_k${BESTK}_t$BESTT.json" \
+  > "$OUT/train256_k${BESTK}_t$BESTT.log" 2>&1
+
 # --- 3. ICP arm -----------------------------------------------------------
 echo "[endgame] full val + ICP, K=$BESTK thr=$BESTT"
 timeout 4800 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
