@@ -160,6 +160,32 @@ def _pid_is_trainer(pid: int) -> bool:
     return "pyrapose" in cmdline
 
 
+def _trainer_run_dir(pid: int) -> "str | None":
+    """The trainer's --snapshot-path, read from its own /proc cmdline.
+
+    The STOP sentinel must land in the dir the trainer actually polls
+    ({snapshot_path}/STOP, cli/train.py). Different drivers use different
+    run dirs (bigrun: /root/data/bigrun, finalrun: /root/data/final*), so
+    a hardcoded default sent STOP to the wrong dir for finalrun trainers —
+    the quiesce then burned its full wait and benchmarked a contended
+    chip. Deriving from the live process is stale-proof; /tmp/bigrun.run
+    (written by the launch scripts) covers hosts without /proc.
+    """
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+            argv = fh.read().decode("utf-8", "replace").split("\0")
+        idx = argv.index("--snapshot-path")
+        return argv[idx + 1] or None
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        with open("/tmp/bigrun.run") as fh:
+            path = fh.read().strip()
+        return path or None
+    except OSError:
+        return None
+
+
 def _quiesce_trainer(max_wait_s: float = 900.0) -> None:
     """Gracefully stop a live bigrun trainer before benchmarking.
 
@@ -180,7 +206,6 @@ def _quiesce_trainer(max_wait_s: float = 900.0) -> None:
     if jax.default_backend() == "cpu" or os.environ.get("BENCH_NO_QUIESCE"):
         return
     pid_file = os.environ.get("BENCH_TRAINER_PID_FILE", "/tmp/bigrun.pid")
-    run_dir = os.environ.get("BENCH_TRAINER_RUN", "/root/data/bigrun")
     try:
         with open(pid_file) as fh:
             pid = int(fh.read().strip())
@@ -194,6 +219,11 @@ def _quiesce_trainer(max_wait_s: float = 900.0) -> None:
             file=sys.stderr,
         )
         return
+    run_dir = (
+        os.environ.get("BENCH_TRAINER_RUN")
+        or _trainer_run_dir(pid)
+        or "/root/data/bigrun"
+    )
     skip_file = os.environ.get(
         "BENCH_SKIP_ENDGAME_FILE", "/tmp/bigrun_skip_endgame"
     )

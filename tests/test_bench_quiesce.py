@@ -111,6 +111,61 @@ def test_quiesce_skips_recycled_pid(tmp_path, monkeypatch):
         bystander.wait()
 
 
+def test_run_dir_derived_from_trainer_cmdline(tmp_path, monkeypatch):
+    """Without BENCH_TRAINER_RUN, the STOP sentinel must land in the dir the
+    trainer actually polls — its own --snapshot-path — not a hardcoded
+    default (finalrun trainers use /root/data/final*, not /root/data/bigrun).
+    """
+    import threading
+
+    import bench
+
+    run_dir = tmp_path / "final2"
+    run_dir.mkdir()
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import os,sys,time  # pyrapose_tpu trainer stand-in\n"
+            "i = sys.argv.index('--snapshot-path')\n"
+            "stop = os.path.join(sys.argv[i + 1], 'STOP')\n"
+            "for _ in range(600):\n"
+            "    if os.path.exists(stop): sys.exit(0)\n"
+            "    time.sleep(0.05)\n",
+            "--snapshot-path",
+            str(run_dir),
+        ]
+    )
+    try:
+        pid_file = tmp_path / "bigrun.pid"
+        pid_file.write_text(str(proc.pid))
+        monkeypatch.setenv("BENCH_TRAINER_PID_FILE", str(pid_file))
+        monkeypatch.delenv("BENCH_TRAINER_RUN", raising=False)
+        monkeypatch.setenv(
+            "BENCH_SKIP_ENDGAME_FILE", str(tmp_path / "skip_endgame")
+        )
+        monkeypatch.setattr(bench.jax, "default_backend", lambda: "tpu")
+        for _ in range(100):  # wait out the fork->exec race before reading
+            if bench._trainer_run_dir(proc.pid) == str(run_dir):  # /proc cmdline
+                break
+            time.sleep(0.05)
+        assert bench._trainer_run_dir(proc.pid) == str(run_dir)
+        real_sleep = time.sleep
+        monkeypatch.setattr(
+            bench.time, "sleep", lambda s: real_sleep(min(s, 0.1))
+        )
+        reaper = threading.Thread(target=proc.wait, daemon=True)
+        reaper.start()
+        bench._quiesce_trainer(max_wait_s=30.0)
+        reaper.join(timeout=10)
+        assert (run_dir / "STOP").exists()
+        assert proc.poll() == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+
+
 def test_quiesce_ignores_dead_pid(tmp_path, monkeypatch):
     import bench
 

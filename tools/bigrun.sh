@@ -164,6 +164,7 @@ python -m pyrapose_tpu.cli.main train linemod "$SET" \
   >> "$EVIDENCE/train.log" 2>&1 &
 TRAINER=$!
 echo $TRAINER > /tmp/bigrun.pid
+echo "$RUN" > /tmp/bigrun.run  # bench.py quiesce: where the STOP sentinel goes
 echo "[bigrun $(stamp)] trainer pid $TRAINER"
 
 wait "$TRAINER"; RC=$?

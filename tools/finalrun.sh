@@ -111,6 +111,7 @@ python -m pyrapose_tpu.cli.main train linemod "$SET" \
   >> "$EVIDENCE/train.log" 2>&1 &
 TRAINER=$!
 echo $TRAINER > /tmp/bigrun.pid
+echo "$RUN" > /tmp/bigrun.run  # bench.py quiesce: where the STOP sentinel goes
 echo "[finalrun $(stamp)] trainer pid $TRAINER"
 
 wait "$TRAINER"; RC=$?
