@@ -56,6 +56,7 @@ def run_evaluate(args) -> int:
         top_k=getattr(args, "ransac_top_k", 32),
         max_instances=max(getattr(args, "max_instances", 1), 1),
         approx_top_k=not getattr(args, "exact_topk", False),
+        inlier_px=getattr(args, "ransac_inlier_px", 5.0),
     )
     # multi-chip: batch-shard inference over the data mesh when the batch
     # divides the device count (serving-style DP over ICI, zero collectives)

@@ -332,6 +332,19 @@ def build_parser() -> argparse.ArgumentParser:
         "models/quantize.py). Head output convs stay full precision",
     )
     e.add_argument(
+        "--ransac-inlier-px",
+        type=float,
+        default=5.0,
+        metavar="PX",
+        help="RANSAC inlier reprojection gate in pixels (reference "
+        "hardcodes 5.0, linemod_eval.py:479-485 — the default keeps "
+        "parity). The gate is a decode hyperparameter, not part of the "
+        "ADD-0.1d metric: on a soft model whose corner votes sit near the "
+        "gate, widening it admits enough inliers for the hypothesis "
+        "tournament + GN refinement to average the noise down, at zero "
+        "cost to the metric's strictness",
+    )
+    e.add_argument(
         "--exact-topk",
         action="store_true",
         help="exact top-k vote gather instead of approx_max_k "
