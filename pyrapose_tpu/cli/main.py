@@ -243,6 +243,11 @@ def build_parser() -> argparse.ArgumentParser:
         "low end of the endgame sweep; the reference evaluates at 0.5)",
     )
     t.add_argument(
+        "--eval-ransac-inlier-px", type=float, default=5.0, metavar="PX",
+        help="RANSAC inlier gate for the in-training eval (the evaluate "
+        "CLI's --ransac-inlier-px; default keeps the reference's 5 px)",
+    )
+    t.add_argument(
         "--profile-dir", default=None,
         help="write a jax.profiler trace of a steady-state step window here",
     )

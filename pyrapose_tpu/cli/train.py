@@ -227,6 +227,7 @@ class _EvalRunner:
         ransac = RansacConfig(
             score_threshold=getattr(args, "eval_score_threshold", 0.3),
             top_k=getattr(args, "eval_ransac_top_k", 128),
+            inlier_px=getattr(args, "eval_ransac_inlier_px", 5.0),
         )
         self.infer = build_inference_fn(
             model, spec.corners3d, spec.image_shape, ransac
