@@ -8,7 +8,7 @@ cd "$(dirname "$0")/.."
 DATA=${DATA:-/root/data}
 MESHES=$DATA/meshes
 SET=$DATA/lm_syn
-RUN=$DATA/bigrun
+RUN=${RUN:-$DATA/bigrun}  # prestage target: the trainer's --snapshot-path
 EVIDENCE=${EVIDENCE:-$PWD/runs_evidence/r3}
 N_TRAIN=${N_TRAIN:-20000}
 mkdir -p "$EVIDENCE" "$DATA" "$RUN"
