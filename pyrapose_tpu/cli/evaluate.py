@@ -57,6 +57,7 @@ def run_evaluate(args) -> int:
         max_instances=max(getattr(args, "max_instances", 1), 1),
         approx_top_k=not getattr(args, "exact_topk", False),
         inlier_px=getattr(args, "ransac_inlier_px", 5.0),
+        fallback_inlier_px=getattr(args, "ransac_fallback_px", 0.0),
     )
     # multi-chip: batch-shard inference over the data mesh when the batch
     # divides the device count (serving-style DP over ICI, zero collectives)

@@ -350,6 +350,17 @@ def build_parser() -> argparse.ArgumentParser:
         "cost to the metric's strictness",
     )
     e.add_argument(
+        "--ransac-fallback-px",
+        type=float,
+        default=0.0,
+        metavar="PX",
+        help="cascaded decode: additionally run the tournament + GN refine "
+        "with this wider inlier gate and keep, per instance, whichever "
+        "refined pose wins more strict-gate consensus (0 = off). Captures "
+        "the wide-gate gains on near-converged votes without the wide "
+        "gate's collapse on noisy votes (both measured — see USAGE.md)",
+    )
+    e.add_argument(
         "--exact-topk",
         action="store_true",
         help="exact top-k vote gather instead of approx_max_k "

@@ -159,45 +159,67 @@ def build_inference_fn(
                 trans_h.reshape(bb, cc, kk, 3),
             )
 
-        sel = jax.vmap(
-            partial(
-                class_multi_poses_select,
-                corners_3d=corners,
-                config=ransac,
-                precomp=precomp,
+        def select_refine(cfg):
+            # the per-vote EPnP hypotheses (`hyp`) are gate-independent:
+            # the cascade's second pass reuses them, re-running only the
+            # tournament + the fused GN kernel
+            sel = jax.vmap(
+                partial(
+                    class_multi_poses_select,
+                    corners_3d=corners,
+                    config=cfg,
+                    precomp=precomp,
+                )
+            )(boxes3d, scores, cam=cam, hyp=hyp)
+            b, c, n = sel["rot0"].shape[:3]
+            k = cfg.top_k
+            i_total = b * c * n
+            pts2d = jnp.broadcast_to(
+                sel["votes"].reshape(b, c, 1, k * 8, 2), (b, c, n, k * 8, 2)
+            ).reshape(i_total, k * 8, 2)
+            pts3d = jnp.broadcast_to(
+                jnp.tile(corners, (1, k, 1)).reshape(1, c, 1, k * 8, 3),
+                (b, c, n, k * 8, 3),
+            ).reshape(i_total, k * 8, 3)
+            cams = jnp.broadcast_to(
+                cam.reshape(b, 1, 1, 4), (b, c, n, 4)
+            ).reshape(i_total, 4)
+            rot, trans = refine_pose_batched_pallas(
+                sel["rot0"].reshape(i_total, 3, 3),
+                sel["trans0"].reshape(i_total, 3),
+                pts2d,
+                pts3d,
+                sel["weights"].reshape(i_total, k * 8),
+                cams,
+                iterations=cfg.refine_iterations,
+                interpret=pallas_interpret,
             )
-        )(boxes3d, scores, cam=cam, hyp=hyp)
-        b, c, n = sel["rot0"].shape[:3]
-        k = ransac.top_k
-        i_total = b * c * n
-        pts2d = jnp.broadcast_to(
-            sel["votes"].reshape(b, c, 1, k * 8, 2), (b, c, n, k * 8, 2)
-        ).reshape(i_total, k * 8, 2)
-        pts3d = jnp.broadcast_to(
-            jnp.tile(corners, (1, k, 1)).reshape(1, c, 1, k * 8, 3),
-            (b, c, n, k * 8, 3),
-        ).reshape(i_total, k * 8, 3)
-        cams = jnp.broadcast_to(
-            cam.reshape(b, 1, 1, 4), (b, c, n, 4)
-        ).reshape(i_total, 4)
-        rot, trans = refine_pose_batched_pallas(
-            sel["rot0"].reshape(i_total, 3, 3),
-            sel["trans0"].reshape(i_total, 3),
-            pts2d,
-            pts3d,
-            sel["weights"].reshape(i_total, k * 8),
-            cams,
-            iterations=ransac.refine_iterations,
-            interpret=pallas_interpret,
-        )
-        multi = MultiPoseResult(
-            rot=rot.reshape(b, c, n, 3, 3),
-            trans=trans.reshape(b, c, n, 3),
-            valid=sel["valid"],
-            num_votes=sel["num_votes"],
-            score=sel["score"],
-            inlier_frac=sel["inlier_frac"],
-        )
+            return sel, MultiPoseResult(
+                rot=rot.reshape(b, c, n, 3, 3),
+                trans=trans.reshape(b, c, n, 3),
+                valid=sel["valid"],
+                num_votes=sel["num_votes"],
+                score=sel["score"],
+                inlier_frac=sel["inlier_frac"],
+            )
+
+        sel, multi = select_refine(ransac)
+        if ransac.fallback_inlier_px > 0.0:
+            import dataclasses as _dc
+
+            from pyrapose_tpu.pose.ransac import cascade_select
+
+            wide_cfg = _dc.replace(
+                ransac,
+                inlier_px=ransac.fallback_inlier_px,
+                fallback_inlier_px=0.0,
+            )
+            _, wide = select_refine(wide_cfg)
+            multi = jax.vmap(
+                lambda bm, wm, v, ts, cm: cascade_select(
+                    bm, wm, v, ts, corners, cm, ransac
+                )
+            )(multi, wide, sel["votes"], sel["top_scores"], cam)
         if ransac.max_instances > 1:
             return multi
         return PoseResult(

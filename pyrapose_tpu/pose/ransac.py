@@ -38,6 +38,17 @@ class RansacConfig:
     top_k: int = 32  # votes kept per class (reference keeps all > threshold)
     min_votes: int = 10  # reference linemod_eval.py:331-334
     inlier_px: float = 5.0  # reference RANSAC reprojErr
+    # Cascaded gate (0 = off, reference behavior): additionally run the
+    # tournament + refinement with this WIDER inlier gate and keep, per
+    # instance, whichever refined pose wins more score-weighted votes under
+    # the STRICT inlier_px re-projection test. Motivation (measured,
+    # runs_evidence/r3final/endgame): near-converged votes (~8 px) gain
+    # +53% relative recall from a 12 px gate, but a single wide gate
+    # destroys recall on noisy votes (~26 px) — the posterior strict-
+    # consensus arbiter keeps the winner of each regime. The per-vote EPnP
+    # hypotheses are gate-independent, so the fused-kernel path solves them
+    # once and only the (cheap) tournament + GN refine run twice.
+    fallback_inlier_px: float = 0.0
     refine_iterations: int = 5
     min_hyp_weight: float = 1e-3
     # approximate top-k (TPU-optimized bitonic partial sort) for the vote
@@ -365,7 +376,10 @@ def class_multi_poses_select(
         valid = inst_valid & detected
         # instance 0's reported score keeps the class-max semantics
         score = seed_score.at[0].set(jnp.max(cls_scores))
-        return rot0, trans0, weights, votes, valid, num_votes, score, inlier_frac
+        return (
+            rot0, trans0, weights, votes, valid, num_votes, score,
+            inlier_frac, top_scores,
+        )
 
     # host constants: vmap accepts numpy operands directly; a jnp.asarray
     # here would commit the tables to the device mid-trace and force a
@@ -382,9 +396,80 @@ def class_multi_poses_select(
     )
     keys = (
         "rot0", "trans0", "weights", "votes", "valid", "num_votes", "score",
-        "inlier_frac",
+        "inlier_frac", "top_scores",
     )
     return dict(zip(keys, out))
+
+
+def strict_consensus(
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    votes_2d: jnp.ndarray,
+    top_scores: jnp.ndarray,
+    corners_3d: jnp.ndarray,
+    cam: jnp.ndarray,
+    config: RansacConfig,
+) -> jnp.ndarray:
+    """Score-weighted vote agreement of REFINED poses under the strict gate.
+
+    The cascade's arbiter: project each instance pose's 8 corners and sum
+    `vote_score` over (vote, corner) pairs within config.inlier_px — the
+    same quantity the hypothesis tournament maximizes, evaluated posterior
+    to refinement. rot (N,3,3), trans (N,3), votes_2d (K,8,2),
+    top_scores (K,) -> (N,).
+    """
+    w_valid = jnp.where(
+        top_scores > config.score_threshold, top_scores, 0.0
+    )
+    pc = heinsum("nij,cj->nci", rot, corners_3d) + trans[:, None, :]
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-6, 1e-6, pc[..., 2])
+    proj = jnp.stack(
+        [pc[..., 0] * cam[0] / z + cam[2], pc[..., 1] * cam[1] / z + cam[3]],
+        axis=-1,
+    )  # (N, 8, 2)
+    diff = proj[:, None, :, :] - votes_2d[None, :, :, :]  # (N, K, 8, 2)
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    inl = (dist < config.inlier_px) & (w_valid > 0.0)[None, :, None]
+    return jnp.sum(inl * w_valid[None, :, None], axis=(1, 2))
+
+
+def cascade_select(
+    base: MultiPoseResult,
+    wide: MultiPoseResult,
+    votes: jnp.ndarray,
+    top_scores: jnp.ndarray,
+    corners_3d,
+    cam: jnp.ndarray,
+    config: RansacConfig,
+) -> MultiPoseResult:
+    """Merge strict-gate and wide-gate results by strict posterior consensus.
+
+    Per (class, instance): keep the wide-gate pose only when it wins
+    STRICTLY more strict-gate consensus than the base pose (ties keep the
+    reference-gate behavior). Operates on one image: rot (C,N,3,3),
+    votes (C,K,8,2), top_scores (C,K); vmap over images to batch.
+    """
+    corners = jnp.asarray(corners_3d)
+    cons_b = jax.vmap(
+        lambda r, t, v, s, c3: strict_consensus(r, t, v, s, c3, cam, config)
+    )(base.rot, base.trans, votes, top_scores, corners)
+    cons_w = jax.vmap(
+        lambda r, t, v, s, c3: strict_consensus(r, t, v, s, c3, cam, config)
+    )(wide.rot, wide.trans, votes, top_scores, corners)
+    take_w = cons_w > cons_b  # (C, N)
+    return MultiPoseResult(
+        rot=jnp.where(_bexp(take_w, wide.rot), wide.rot, base.rot),
+        trans=jnp.where(_bexp(take_w, wide.trans), wide.trans, base.trans),
+        valid=base.valid,
+        num_votes=base.num_votes,
+        score=base.score,
+        inlier_frac=jnp.where(take_w, wide.inlier_frac, base.inlier_frac),
+    )
+
+
+def _bexp(mask: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a (C, N) mask against trailing dims of `like`."""
+    return mask.reshape(mask.shape + (1,) * (like.ndim - mask.ndim))
 
 
 def class_multi_poses_from_dense(
@@ -402,31 +487,43 @@ def class_multi_poses_from_dense(
     (the capability the reference reaches via per-detection loops on T-LESS
     multi-copy scenes, tless_eval.py:312-436). vmap over images to batch.
     """
-    sel = class_multi_poses_select(
-        boxes3d, scores, corners_3d, cam, config, precomp
-    )
-    c, n = sel["rot0"].shape[:2]
-    k = config.top_k
+    def select_refine(cfg):
+        sel = class_multi_poses_select(
+            boxes3d, scores, corners_3d, cam, cfg, precomp
+        )
+        k = cfg.top_k
 
-    def refine_class(rot0_n, trans0_n, weights_n, votes_k, cls_corners):
-        pts2d = votes_k.reshape(k * 8, 2)
-        pts3d = jnp.tile(cls_corners, (k, 1))
-        return jax.vmap(
-            lambda r0, t0, w: refine_pose(
-                r0, t0, pts2d, pts3d, w, cam,
-                iterations=config.refine_iterations,
-            )
-        )(rot0_n, trans0_n, weights_n)
+        def refine_class(rot0_n, trans0_n, weights_n, votes_k, cls_corners):
+            pts2d = votes_k.reshape(k * 8, 2)
+            pts3d = jnp.tile(cls_corners, (k, 1))
+            return jax.vmap(
+                lambda r0, t0, w: refine_pose(
+                    r0, t0, pts2d, pts3d, w, cam,
+                    iterations=cfg.refine_iterations,
+                )
+            )(rot0_n, trans0_n, weights_n)
 
-    rot, trans = jax.vmap(refine_class)(
-        sel["rot0"], sel["trans0"], sel["weights"], sel["votes"], corners_3d
-    )
-    del c, n
-    return MultiPoseResult(
-        rot=rot,
-        trans=trans,
-        valid=sel["valid"],
-        num_votes=sel["num_votes"],
-        score=sel["score"],
-        inlier_frac=sel["inlier_frac"],
-    )
+        rot, trans = jax.vmap(refine_class)(
+            sel["rot0"], sel["trans0"], sel["weights"], sel["votes"],
+            corners_3d,
+        )
+        return sel, MultiPoseResult(
+            rot=rot,
+            trans=trans,
+            valid=sel["valid"],
+            num_votes=sel["num_votes"],
+            score=sel["score"],
+            inlier_frac=sel["inlier_frac"],
+        )
+
+    sel, result = select_refine(config)
+    if config.fallback_inlier_px > 0.0:
+        wide_cfg = dataclasses.replace(
+            config, inlier_px=config.fallback_inlier_px, fallback_inlier_px=0.0
+        )
+        _, wide = select_refine(wide_cfg)
+        result = cascade_select(
+            result, wide, sel["votes"], sel["top_scores"], corners_3d, cam,
+            config,
+        )
+    return result
