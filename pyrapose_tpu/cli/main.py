@@ -218,6 +218,15 @@ def build_parser() -> argparse.ArgumentParser:
         "size --device-cache-frames at most HALF the free device memory",
     )
     t.add_argument(
+        "--no-device-cache-host-ram", dest="device_cache_host_ram",
+        action="store_false", default=True,
+        help="disable keeping decoded rotation chunks in host RAM between "
+        "visits (on by default when the decoded set fits in <45%% of "
+        "MemAvailable; retention makes every rotation after the first "
+        "visit a pure host->HBM transfer, removing the np.load that "
+        "dominated rotation stalls on 1-core hosts)",
+    )
+    t.add_argument(
         "--cache-images", type=float, default=0.0, metavar="GB",
         help="decoded-frame RAM cache: after the first epoch, PNG decode "
         "cost disappears from the host loader (0 = off; the reference "
@@ -246,6 +255,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--eval-ransac-inlier-px", type=float, default=5.0, metavar="PX",
         help="RANSAC inlier gate for the in-training eval (the evaluate "
         "CLI's --ransac-inlier-px; default keeps the reference's 5 px)",
+    )
+    t.add_argument(
+        "--no-eval-preflight", dest="eval_preflight",
+        action="store_false", default=True,
+        help="skip the launch-time one-batch eval smoke test (on by "
+        "default whenever --eval-every is set: a broken eval stack then "
+        "fails BEFORE epoch 1 instead of at the first epoch-boundary "
+        "eval, which in round 3 cost 9 epochs)",
     )
     t.add_argument(
         "--profile-dir", default=None,
@@ -560,37 +577,13 @@ def _run_supervised(argv: list[str], retries: int) -> int:
     --auto-resume, so every incarnation continues from the newest complete
     checkpoint. Used for unattended runs on remote-attached TPUs where the
     transport can wedge (exit 17 from the stall watchdog) or the host can
-    preempt the job.
+    preempt the job. The restart/halt/rollback-warning policy lives in
+    pyrapose_tpu.supervise (crash signatures, identical-crash halt,
+    truthful end-of-run summary — VERDICT r3 next-round #3).
     """
-    import subprocess
-    import time as _time
+    from pyrapose_tpu.supervise import run_supervised
 
-    from pyrapose_tpu.watchdog import EXIT_RESTART
-
-    child = _child_command(argv)
-    attempt = 0
-    while True:
-        rc = subprocess.call(child)
-        if rc == 0:
-            return 0
-        if rc == EXIT_RESTART:
-            # Voluntary self-restart (checkpoint saved, e.g. --rss-restart-gb
-            # working around the transport memory leak): expected and
-            # unbounded — don't burn the crash-retry budget or back off.
-            print(
-                "supervise: child requested restart (rc=18, checkpoint "
-                "saved); relaunching immediately"
-            )
-            continue
-        attempt += 1
-        if attempt > retries:
-            print(f"supervise: giving up after {retries} restarts (rc={rc})")
-            return rc
-        print(
-            f"supervise: child exited rc={rc}; restart "
-            f"{attempt}/{retries} (auto-resume from newest checkpoint)"
-        )
-        _time.sleep(min(5.0 * attempt, 60.0))
+    return run_supervised(_child_command(argv), retries)
 
 
 def main(argv: list[str] | None = None) -> int:

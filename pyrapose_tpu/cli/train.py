@@ -186,6 +186,18 @@ def cache_disk_key(image_shape, sub_dataset) -> str:
     return f"shape={tuple(image_shape)}|n={len(sub_dataset)}|subset={subset}"
 
 
+def _mem_available_bytes() -> int:
+    """MemAvailable from /proc/meminfo, or 0 when unreadable (non-Linux)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return 0
+
+
 class _EvalRunner:
     """In-training ADD(-S) eval with everything reusable cached.
 
@@ -246,7 +258,24 @@ class _EvalRunner:
             ]
         return self._batches
 
+    def preflight(self, state) -> None:
+        """Run ONE val batch through the exact in-training eval path.
+
+        Launch gate for long runs (round-3 post-mortem, VERDICT r3 weak #2):
+        the r3 flagship was launched from a mid-edit tree whose inference
+        config didn't match the ransac module on disk; the mismatch only
+        surfaced at the epoch-10 in-training eval, which — combined with
+        the then eval-before-save ordering — destroyed 9 epochs. Failing
+        here costs ~1 min (the inference jit, which the real evals then
+        reuse from the cache) and happens BEFORE epoch 1 commits the chip,
+        when auto-resume has nothing to lose.
+        """
+        self._run(state, self.batches()[:1], reduce=False)
+
     def __call__(self, state) -> dict:
+        return self._run(state, self.batches(), reduce=True)
+
+    def _run(self, state, batches, reduce: bool) -> dict:
         from pyrapose_tpu.eval.drivers import evaluate_by_name
 
         params, batch_stats = state.params, state.batch_stats
@@ -262,10 +291,10 @@ class _EvalRunner:
         out = evaluate_by_name(
             name if name in ("linemod", "occlusion", "ycbv", "homebrewed")
             else "linemod",
-            self.spec, self.infer, variables, self.batches(),
+            self.spec, self.infer, variables, batches,
             model_points=self.model_points, verbose=False,
         )
-        if self.pc > 1:
+        if reduce and self.pc > 1:
             out = self._reduce(out["accumulator"])
         return out
 
@@ -563,6 +592,22 @@ def run_train(args) -> int:
 
         flatten_rows = int(_math.prod(mesh.devices.shape)) == 1
 
+        # host-RAM retention of decoded rotation chunks (VERDICT r3 weak #4:
+        # the ~530 s background restage was dominated by host-side work —
+        # np.load of a multi-GB npz through Python's zipfile contends with
+        # the dispatch loop for the one-core host's GIL — not by the H2D
+        # transfer alone). The whole decoded set is small next to host RAM
+        # (20k frames at 480x640 = 18.4 GB vs 125 GB), so chunks are kept
+        # as numpy arrays after their first visit and rotation re-visits
+        # pay only the device_put.
+        host_chunks: dict = {}
+        _decoded_bytes = len(full_dataset) * int(np.prod(spec.image_shape)) * 3
+        _avail = _mem_available_bytes()
+        retain_host = (
+            getattr(args, "device_cache_host_ram", True)
+            and (not _avail or _decoded_bytes < 0.45 * _avail)
+        )
+
         def _stage(sub_dataset, disk_name, heartbeat=None):
             # decoded-set disk cache: restarts (--supervise/--auto-resume)
             # and chunk re-visits skip the minutes-long PNG decode pass
@@ -570,7 +615,12 @@ def run_train(args) -> int:
             if args.snapshot_path and args.dataset != "synthetic":
                 disk_cache = os.path.join(args.snapshot_path, disk_name)
             disk_key = cache_disk_key(spec.image_shape, sub_dataset)
-            return DeviceCache.build(
+            keep = (
+                subset_chunks is not None
+                and len(subset_chunks) > 1
+                and retain_host
+            )
+            built = DeviceCache.build(
                 sub_dataset, mesh=mesh, num_workers=workers,
                 disk_cache=disk_cache,
                 disk_key=disk_key,
@@ -579,13 +629,56 @@ def run_train(args) -> int:
                 # the image layout (their gather shards by batch via GSPMD)
                 flatten_rows=flatten_rows,
                 heartbeat=heartbeat,
+                preloaded=host_chunks.get(disk_name),
+                keep_host=keep and disk_name not in host_chunks,
             )
+            if built.host_arrays is not None:
+                host_chunks[disk_name] = built.host_arrays
+                built.host_arrays = None
+            return built
 
         if subset_chunks is None:
             print("staging dataset to device memory (--device-cache)...")
             cache = _stage(dataset, "device_cache.npz")
         # rotation: staged lazily in the epoch loop (the resumed epoch,
         # not epoch 0, decides which chunk goes to HBM first)
+        elif not retain_host:
+            if getattr(args, "device_cache_host_ram", True):
+                print(
+                    f"device-cache: NOT retaining chunks in host RAM "
+                    f"(decoded set {_decoded_bytes / 1e9:.1f} GB vs "
+                    f"{_avail / 1e9:.1f} GB available)"
+                )
+        else:
+            # launch-time preload of every prestaged chunk into host RAM:
+            # the disk reads run while the chip is still idle (before the
+            # first compile) instead of inside the training timeline, so
+            # even the FIRST rotation cycle's background stages are
+            # device_put-only. Skipped per-chunk when the npz is missing
+            # (that chunk decodes + retains on first visit instead).
+            import time as _time
+
+            t0 = _time.monotonic()
+            for w in range(len(subset_chunks)):
+                disk_name = f"device_cache_c{w}.npz"
+                if not args.snapshot_path or args.dataset == "synthetic":
+                    break
+                path = os.path.join(args.snapshot_path, disk_name)
+                sub = SubsetDataset(
+                    full_dataset, np.sort(subset_chunks[w])
+                )
+                key = cache_disk_key(spec.image_shape, sub)
+                imgs, g = DeviceCache._load_disk(
+                    path, len(sub), verbose=False, expect_key=key
+                )
+                if imgs is not None:
+                    host_chunks[disk_name] = (imgs, g)
+            if host_chunks:
+                print(
+                    f"device-cache: preloaded {len(host_chunks)}/"
+                    f"{len(subset_chunks)} chunks to host RAM "
+                    f"({_time.monotonic() - t0:.1f}s)", flush=True
+                )
 
     steps_per_epoch = args.steps_per_epoch or max(len(dataset) // args.batch_size, 1)
     profiling = False
@@ -631,6 +724,25 @@ def run_train(args) -> int:
     warmup = max(getattr(args, "warmup_epochs", 0), 0)
 
     cosine = bool(getattr(args, "cosine_decay", False))
+
+    # eval preflight: exercise the full in-training eval path on one batch
+    # BEFORE the first epoch, so a broken eval stack fails at launch (cost:
+    # the inference compile, which the real evals reuse) instead of at the
+    # first epoch-boundary eval. ALL processes join — the runner's reduce
+    # path is skipped but the inference program itself must be process-local
+    # everywhere anyway. Disable with --no-eval-preflight (tiny smoke runs).
+    if (
+        eval_every > 0
+        and start_epoch < args.epochs
+        and getattr(args, "eval_preflight", True)
+    ):
+        if eval_runner is None:
+            eval_runner = _EvalRunner(args, spec, val_dataset,
+                                      model_points, config)
+        t0 = time.time()
+        eval_runner.preflight(state)
+        if primary:
+            print(f"eval preflight ok ({time.time() - t0:.1f}s)")
 
     for epoch in range(start_epoch, args.epochs):
         # linear per-epoch LR warmup (from-scratch runs at higher LR need
@@ -807,24 +919,58 @@ def run_train(args) -> int:
             losses=[round(v, 6) for v in losses],
             **{k: round(v / max(len(losses), 1), 6) for k, v in part_sums.items()},
         )
-        if not done and eval_every > 0 and (epoch + 1) % eval_every == 0:
+        eval_due = (
+            not done and eval_every > 0 and (epoch + 1) % eval_every == 0
+        )
+        # checkpoint BEFORE the epoch-boundary eval (VERDICT r3 weak #1:
+        # the old eval-then-save ordering made every in-training eval a
+        # --save-epochs-sized bet — the r3 epoch-10 eval crash destroyed
+        # all 10 unsaved epochs). An eval epoch therefore always saves
+        # first, even off the --save-epochs cadence.
+        saved_this_epoch = False
+        if primary and (
+            (epoch + 1) % save_epochs == 0
+            or eval_due
+            or done
+            or epoch + 1 == args.epochs
+        ):
+            path = save_checkpoint(state, args.snapshot_path)
+            prune_checkpoints(args.snapshot_path, keep_checkpoints)
+            watchdog.beat()
+            print(f"saved {path}")
+            saved_this_epoch = True
+        if eval_due:
             # ALL processes join (the multi-host reduction is a collective
             # — a primary-only dispatch would deadlock the cluster); only
             # the primary logs the identical reduced report
             if eval_runner is None:
                 eval_runner = _EvalRunner(args, spec, val_dataset,
                                           model_points, config)
-            report = eval_runner(state)
-            watchdog.beat()
-            if primary:
-                scalars["val_recall"] = report["mean_recall"]
-                scalars["val_detection_rate"] = report["mean_detection_rate"]
-                scalars["val_median_add_rel"] = report["median_add_rel"]
-                print(
-                    f"  val: recall {report['mean_recall']:.4f} "
-                    f"det {report['mean_detection_rate']:.4f} "
-                    f"median ADD/d {report['median_add_rel']:.3f}"
-                )
+            try:
+                report = eval_runner(state)
+            except Exception:
+                # a broken eval degrades to a missing metric, not a dead
+                # run (the checkpoint above already banked the epoch).
+                # Single-process only in effect: multi-host runs execute
+                # the same program everywhere, so a raise here is
+                # symmetric and the cluster stays in step.
+                import traceback
+
+                traceback.print_exc()
+                if primary:
+                    scalars["val_error"] = "eval raised (see traceback above)"
+                    print("  val: EVAL FAILED — continuing without metric")
+            else:
+                watchdog.beat()
+                if primary:
+                    scalars["val_recall"] = report["mean_recall"]
+                    scalars["val_detection_rate"] = report["mean_detection_rate"]
+                    scalars["val_median_add_rel"] = report["median_add_rel"]
+                    print(
+                        f"  val: recall {report['mean_recall']:.4f} "
+                        f"det {report['mean_detection_rate']:.4f} "
+                        f"median ADD/d {report['median_add_rel']:.3f}"
+                    )
         if primary:
             logger.log(**scalars)
         # the loss is replicated, so every process computes the same plateau
@@ -836,20 +982,12 @@ def run_train(args) -> int:
             new_lr = plateau.update(mean_loss, lr)
             if new_lr != lr:
                 state = set_learning_rate(state, new_lr)
-        # end-of-epoch save: device_get of the full train state costs real
-        # wall time on remote-attached TPUs (~0.5 GB for resnet50+Adam), so
-        # fast cached epochs save every --save-epochs instead of every epoch
-        saved_this_epoch = False
-        if primary and (
-            (epoch + 1) % save_epochs == 0
-            or done
-            or epoch + 1 == args.epochs
-        ):
-            path = save_checkpoint(state, args.snapshot_path)
-            prune_checkpoints(args.snapshot_path, keep_checkpoints)
-            watchdog.beat()
-            print(f"saved {path}")
-            saved_this_epoch = True
+        # (the end-of-epoch save happens BEFORE the eval block above.
+        # Saving pre-plateau means a crash in the same epoch window replays
+        # without this epoch's LR cut; the plateau tracker re-cuts after
+        # its patience — bounded staleness, vs. the unbounded loss of the
+        # old eval-before-save ordering. Cosine/warmup LR is derived from
+        # the saved step, so those schedules lose nothing.)
         if done:
             break
         # Voluntary restart before the host OOM-kills us: remote-TPU

@@ -433,6 +433,33 @@ def strict_consensus(
     return jnp.sum(inl * w_valid[None, :, None], axis=(1, 2))
 
 
+def strict_inlier_frac(
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    votes_2d: jnp.ndarray,
+    top_scores: jnp.ndarray,
+    corners_3d: jnp.ndarray,
+    cam: jnp.ndarray,
+    config: RansacConfig,
+) -> jnp.ndarray:
+    """Unweighted strict-gate inlier fraction of REFINED poses: (vote,
+    corner) pairs within config.inlier_px / (valid votes * 8). Keeps the
+    cascade's reported inlier_frac gate-consistent with unreplaced
+    instances (ADVICE r3: wide-gate fracs are inflated by construction).
+    rot (N,3,3) -> (N,)."""
+    valid = top_scores > config.score_threshold
+    pc = heinsum("nij,cj->nci", rot, corners_3d) + trans[:, None, :]
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-6, 1e-6, pc[..., 2])
+    proj = jnp.stack(
+        [pc[..., 0] * cam[0] / z + cam[2], pc[..., 1] * cam[1] / z + cam[3]],
+        axis=-1,
+    )
+    diff = proj[:, None, :, :] - votes_2d[None, :, :, :]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    inl = (dist < config.inlier_px) & valid[None, :, None]
+    return jnp.sum(inl, axis=(1, 2)) / jnp.maximum(jnp.sum(valid) * 8.0, 1.0)
+
+
 def cascade_select(
     base: MultiPoseResult,
     wide: MultiPoseResult,
@@ -444,10 +471,21 @@ def cascade_select(
 ) -> MultiPoseResult:
     """Merge strict-gate and wide-gate results by strict posterior consensus.
 
-    Per (class, instance): keep the wide-gate pose only when it wins
-    STRICTLY more strict-gate consensus than the base pose (ties keep the
-    reference-gate behavior). Operates on one image: rot (C,N,3,3),
-    votes (C,K,8,2), top_scores (C,K); vmap over images to batch.
+    Per class: keep the wide-gate pose only when it wins STRICTLY more
+    strict-gate consensus than the base pose (ties keep the reference-gate
+    behavior). Operates on one image: rot (C,N,3,3), votes (C,K,8,2),
+    top_scores (C,K); vmap over images to batch.
+
+    The cascade applies to instance 0 ONLY (ADVICE r3): the wide-gate
+    tournament sees different vote suppression, so for N>1 the wide pose at
+    slot i>0 may describe a *different object copy* than base slot i —
+    positional pairing would swap poses between copies. Instance 0 is the
+    consensus-dominant copy under both gates, so the pairing is sound
+    there; later instances keep the strict-gate result unconditionally.
+
+    The winning wide pose's reported inlier_frac is recomputed under the
+    STRICT gate (strict_inlier_frac) so the diagnostic has one gate
+    semantics across instances whether or not the cascade fired.
     """
     corners = jnp.asarray(corners_3d)
     cons_b = jax.vmap(
@@ -457,13 +495,21 @@ def cascade_select(
         lambda r, t, v, s, c3: strict_consensus(r, t, v, s, c3, cam, config)
     )(wide.rot, wide.trans, votes, top_scores, corners)
     take_w = cons_w > cons_b  # (C, N)
+    n_inst = take_w.shape[1]
+    if n_inst > 1:  # static shape: resolved at trace time
+        take_w = take_w & (jnp.arange(n_inst) == 0)[None, :]
+    frac_w = jax.vmap(
+        lambda r, t, v, s, c3: strict_inlier_frac(
+            r, t, v, s, c3, cam, config
+        )
+    )(wide.rot, wide.trans, votes, top_scores, corners)
     return MultiPoseResult(
         rot=jnp.where(_bexp(take_w, wide.rot), wide.rot, base.rot),
         trans=jnp.where(_bexp(take_w, wide.trans), wide.trans, base.trans),
         valid=base.valid,
         num_votes=base.num_votes,
         score=base.score,
-        inlier_frac=jnp.where(take_w, wide.inlier_frac, base.inlier_frac),
+        inlier_frac=jnp.where(take_w, frac_w, base.inlier_frac),
     )
 
 

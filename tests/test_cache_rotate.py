@@ -135,8 +135,45 @@ def test_prestage_tool_caches_are_reused_by_the_trainer(tmp_path, capsys):
     ])
     assert rc == 0
     text = capsys.readouterr().out
-    # every chunk came from the pre-built disk cache ("rotation: staging
-    # chunk N" still prints — it is the stage *attempt*, which then hits
-    # the .npz instead of decoding)
+    # the prestaged npz files are preloaded to host RAM at launch; every
+    # rotation stage then reads from RAM ("(ram ..." in the stage
+    # breakdown) — ZERO inline decodes and ZERO in-timeline disk loads
+    assert "preloaded 2/2 chunks to host RAM" in text
+    assert text.count("(ram ") == 2
+    assert "decoded set loaded from" not in text  # nothing read mid-run
+    assert "epoch 4/4" in text
+
+
+def test_prestage_disk_path_without_host_ram(tmp_path, capsys):
+    """--no-device-cache-host-ram restores the r3 behavior: each rotation
+    loads its chunk from the prestaged npz on disk."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "ds")
+    snap = str(tmp_path / "ckpt")
+    _make_bop_tree(root, [1, 2], set_name="train", n_images=8)
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "prestage_chunks.py"),
+            root, snap, "--dataset", "homebrewed",
+            "--cache-frames", "4", "--seed", "0", "--workers", "1",
+            "--image-min-side", "64", "--image-max-side", "64",
+        ],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rc = main([
+        "train", "homebrewed", root,
+        "--backbone", "resnet10", "--batch-size", "2", "--epochs", "4",
+        "--image-min-side", "64", "--image-max-side", "64",
+        "--snapshot-path", snap, "--no-augment", "--seed", "0",
+        "--device-cache", "--device-cache-frames", "4",
+        "--device-cache-rotate", "2", "--no-device-cache-host-ram",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
     assert text.count("decoded set loaded from") == 2
+    assert "preloaded" not in text
     assert "epoch 4/4" in text

@@ -60,13 +60,17 @@ import json, glob, sys
 best = (64, 0.5, -1.0)
 for f in glob.glob(sys.argv[1] + "/valmid_k*_t*.json"):
     stem = f.rsplit("/", 1)[1][len("valmid_k"):-len(".json")]
-    k_s, t_s = stem.split("_t")
+    if "_int8" in stem or "_px" in stem:
+        # sibling sweeps' stems don't parse as "K_tTHR" (ADVICE r3)
+        continue
     try:
+        k_s, t_s = stem.split("_t")
+        k, t = int(k_s), float(t_s)
         r = float(json.load(open(f)).get("mean_recall", -1))
     except Exception:
-        r = -1.0
-    if r > best[2] or (r == best[2] and int(k_s) < best[0]):
-        best = (int(k_s), float(t_s), r)
+        continue
+    if r > best[2] or (r == best[2] and k < best[0]):
+        best = (k, t, r)
 print(best[0], best[1])
 PY
 }
@@ -118,6 +122,43 @@ echo "[endgame] ab_topk at K=$BESTK (valmid)"
 timeout 1800 python tools/ab_topk.py linemod "$DATA" "$CKPT" \
   --set-name valmid --ransac-top-k "$BESTK" --score-threshold "$BESTT" \
   > "$OUT/ab_topk.json" 2> "$OUT/ab_topk.log"
+
+# --- 4.5 cascade-gate fate sweep (VERDICT r3 next-round #7) ----------------
+# --ransac-fallback-px on the best arm: does the strict-consensus arbiter
+# ever beat the reference's fixed 5 px gate on a real model? The px-sweep
+# stems are excluded from pick_best by name.
+for PX in 8 12; do
+  echo "[endgame] cascade sweep: fallback ${PX}px (valmid)"
+  timeout 1800 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+    --set-name valmid --ransac-top-k "$BESTK" --score-threshold "$BESTT" \
+    --ransac-fallback-px "$PX" \
+    --report-json "$OUT/valmid_k${BESTK}_t${BESTT}_fpx${PX}.json" \
+    > "$OUT/valmid_k${BESTK}_t${BESTT}_fpx${PX}.log" 2>&1
+done
+# winner (if any) replayed on full val for the keep/delete decision
+BESTPX=$(python - "$OUT" "$BESTK" "$BESTT" <<'PY'
+import json, sys, glob
+out, k, t = sys.argv[1], sys.argv[2], sys.argv[3]
+base = json.load(open(f"{out}/valmid_k{k}_t{t}.json")).get("mean_recall", -1)
+best = ("", base)
+for f in glob.glob(f"{out}/valmid_k{k}_t{t}_fpx*.json"):
+    px = f.rsplit("_fpx", 1)[1][:-5]
+    r = json.load(open(f)).get("mean_recall", -1)
+    if r > best[1]:
+        best = (px, r)
+print(best[0])
+PY
+)
+if [ -n "$BESTPX" ]; then
+  echo "[endgame] cascade ${BESTPX}px beat baseline on valmid; replaying on val"
+  timeout 3600 python -m pyrapose_tpu.cli.main evaluate linemod "$DATA" "$CKPT" \
+    --set-name val --ransac-top-k "$BESTK" --score-threshold "$BESTT" \
+    --ransac-fallback-px "$BESTPX" \
+    --report-json "$OUT/val_k${BESTK}_t${BESTT}_fpx${BESTPX}.json" \
+    > "$OUT/val_k${BESTK}_t${BESTT}_fpx${BESTPX}.log" 2>&1
+else
+  echo "[endgame] cascade gate never beat the strict gate on valmid"
+fi
 
 # --- 5. trajectory report ---------------------------------------------------
 python tools/report_run.py "$RUN" > "$OUT/report_run.md" 2>&1

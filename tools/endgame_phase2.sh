@@ -37,15 +37,18 @@ import json, glob, sys
 best = (128, 0.5, -1.0)
 for f in glob.glob(sys.argv[1] + "/valmid_k*_t*.json"):
     stem = f.rsplit("/", 1)[1][len("valmid_k"):-len(".json")]
-    if "_int8" in stem:
+    if "_int8" in stem or "_px" in stem:
+        # other sweeps (int8 A/B, --ransac-inlier-px) share this dir;
+        # their stems don't parse as "K_tTHR" (ADVICE r3 finding 3)
         continue
-    k_s, t_s = stem.split("_t")
     try:
+        k_s, t_s = stem.split("_t")
+        k, t = int(k_s), float(t_s)
         r = float(json.load(open(f)).get("mean_recall", -1))
     except Exception:
-        r = -1.0
-    if r > best[2] or (r == best[2] and int(k_s) < best[0]):
-        best = (int(k_s), float(t_s), r)
+        continue
+    if r > best[2] or (r == best[2] and k < best[0]):
+        best = (k, t, r)
 print(best[0], best[1])
 PY
 }

@@ -118,7 +118,14 @@ wait "$TRAINER"; RC=$?
 cp -f "$RUN/metrics.jsonl" "$EVIDENCE/metrics.jsonl" 2>/dev/null
 echo "[finalrun $(stamp)] trainer exited rc=$RC"
 snap_ckpt
-gcommit "finalrun: training finished (rc=$RC), final evidence" "$EVIDENCE"
+# Truthful final commit message (VERDICT r3 next-round #3: a crashed run
+# must not be committed as "finished"): carry the supervisor's summary
+# line, the last epoch reached, and whether a STOP sentinel ended the run.
+SUMMARY=$(grep -E "^supervise: (run finished|run FAILED|HALT)" "$EVIDENCE/train.log" 2>/dev/null | tail -1)
+LASTE=$(grep -oE "^epoch [0-9]+/[0-9]+" "$EVIDENCE/train.log" 2>/dev/null | tail -1)
+STOPNOTE=""
+grep -q "stop sentinel" "$EVIDENCE/train.log" 2>/dev/null && STOPNOTE=" (ended by STOP sentinel)"
+gcommit "finalrun: trainer rc=$RC at ${LASTE:-epoch ?}${STOPNOTE}; ${SUMMARY:-no supervise summary}" "$EVIDENCE"
 
 if [ -f /tmp/bigrun_skip_endgame ]; then
   echo "[finalrun $(stamp)] bench owns the chip; skipping endgame"
