@@ -37,6 +37,13 @@ EPOCHS=${EPOCHS:-140}
 LR=${LR:-2e-4}
 WARMUP=${WARMUP:-2}
 AUG_FLAGS=${AUG_FLAGS:---no-augment}
+# Rotation cadence default moved 2 -> 4 in round 4: the H2D put of a
+# 4.71 GB chunk measured 160 s (29 MB/s) on an IDLE tunnel, so a 2-epoch
+# (~70 s) prefetch window can never hide it — the bandwidth bound needs
+# >= ~4.6 epoch-times per chunk independent of chunk size (window and
+# transfer both scale linearly with frames). rotate=4 plus host-RAM chunk
+# retention gets the window to 140 s of pure put.
+ROTATE=${ROTATE:-4}
 mkdir -p "$EVIDENCE" "$RUN"
 
 stamp() { date -u +%FT%TZ; }
@@ -102,7 +109,7 @@ python -m pyrapose_tpu.cli.main train linemod "$SET" \
   --batch-size 16 --epochs "$EPOCHS" --lr "$LR" \
   --warmup-epochs "$WARMUP" --cosine-decay --head-l2 0 \
   --no-freeze-stem $AUG_FLAGS \
-  --device-cache --device-cache-frames 5000 --device-cache-rotate 2 \
+  --device-cache --device-cache-frames 5000 --device-cache-rotate "${ROTATE:-4}" \
   --device-cache-prefetch \
   --snapshot-path "$RUN" --auto-resume --save-epochs 10 \
   --keep-checkpoints 4 \
