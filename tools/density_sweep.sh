@@ -4,21 +4,24 @@
 # the 20k-frame sandbox render (the "pose-space sparsity" hypothesis of
 # runs_evidence/r3final/DIAGNOSIS.md §4)?
 #
-# Design: two arms at FIXED optimizer-step compute, identical recipe
+# Design: arms at FIXED optimizer-step compute, identical recipe
 # (geometric-only augmentation, frozen BN, warm restart from the same
 # checkpoint — the exact phase-2b regime, so the arms compose with the
-# flagship run as a 20k-vs-40k comparison):
-#   arm A: 20k-frame train set  (the flagship's own dataset)
-#   arm B: 40k-frame train set  (a disjoint-seed re-render, same renderer)
-# Each arm trains STEPS optimizer steps, then measures val corner error
-# (tools/corner_error.py) and valmid ADD(-S) recall. A lower arm-B corner
-# error at equal compute = density moves the floor -> scale the dataset
-# next; equal errors = saturation -> the sparsity claim is refuted and the
-# floor belongs to the optimization/augmentation axis.
+# flagship run). Each arm trains EPOCHS*312 steps, then measures val
+# corner error (tools/corner_error.py) and valmid ADD(-S) recall.
 #
-# The 40k set renders host-side (~100 min on 1 core, restartable) and does
-# not touch the chip; run `RENDER_ONLY=1 tools/density_sweep.sh` early to
-# prepare data while the chip trains something else.
+# Default arms measure the data-size slope AT 20k FROM BELOW:
+#   arm 10k: the first half of the 20k train set (derived annotations +
+#            symlinked images — zero new rendering)
+#   arm 20k: the flagship's own dataset
+# Reading: 10k clearly worse than 20k at equal compute => the size curve
+# still climbs at 20k => more data plausibly helps (sparsity hypothesis
+# supported; render 40k+ next). 10k ~= 20k => saturated at 20k => the
+# floor is NOT data volume (sparsity claim refuted; the lever is
+# augmentation/optimization). A 40k arm (disjoint-seed re-render, ~100
+# min host-side at 1 core) is included when $SET40 exists with
+# annotations/train_done — run `RENDER40=1 RENDER_ONLY=1` early to
+# prepare it while the chip is busy.
 #
 # Usage:
 #   RENDER_ONLY=1 nohup tools/density_sweep.sh > /tmp/density_render.log 2>&1 &
@@ -30,16 +33,17 @@ REPO=$PWD
 DATA=${DATA:-/root/data}
 MESHES=$DATA/meshes
 SET20=${SET20:-$DATA/lm_syn}
+SET10=${SET10:-$DATA/lm_syn10k}
 SET40=${SET40:-$DATA/lm_syn40}
 EVIDENCE=${EVIDENCE:-$REPO/runs_evidence/r4/density}
-EPOCHS=${EPOCHS:-24}           # per arm, at 312 steps/epoch on 20k chunks
+EPOCHS=${EPOCHS:-16}           # per arm, at 312 steps/epoch
 LR=${LR:-2e-4}
 CKPT=${CKPT:-}
 mkdir -p "$EVIDENCE" "$DATA"
 stamp() { date -u +%FT%TZ; }
 
-# ---- 40k train render (disjoint seed stream from the 20k set) ---------------
-if [ ! -f "$SET40/annotations/train_done" ]; then
+# ---- optional 40k train render (disjoint seed stream) -----------------------
+if [ "${RENDER40:-0}" = "1" ] && [ ! -f "$SET40/annotations/train_done" ]; then
   mkdir -p "$SET40/annotations"
   echo "[density $(stamp)] rendering 40k train set"
   JAX_PLATFORMS=cpu python -m pyrapose_tpu.cli.main render-synthetic \
@@ -47,35 +51,54 @@ if [ ! -f "$SET40/annotations/train_done" ]; then
     >> "$EVIDENCE/render40.log" 2>&1 \
     && touch "$SET40/annotations/train_done"
 fi
-# both arms evaluate on the SAME val/valmid splits (copied annotations +
-# images from the 20k set — val identity is what makes the arms comparable)
-for s in val valmid; do
-  if [ ! -f "$SET40/annotations/instances_$s.json" ]; then
-    cp "$SET20/annotations/instances_$s.json" "$SET40/annotations/"
-    mkdir -p "$SET40/images/$s"
-    cp -r "$SET20/images/$s/." "$SET40/images/$s/" 2>/dev/null || true
-  fi
-done
-# prestage decoded chunks for both arms (host-side, no chip):
-# arm 20k reuses the flagship's chunks by hardlink (same dataset, same
-# seed, same --cache-frames => identical chunk table and disk keys);
-# arm 40k decodes once here instead of inside the training timeline.
+
+# ---- 10k arm dataset: derived view of the 20k set ---------------------------
+if [ ! -f "$SET10/annotations/instances_train.json" ]; then
+  echo "[density $(stamp)] deriving 10k dataset view from $SET20"
+  mkdir -p "$SET10/annotations" "$SET10/images"
+  python - "$SET20" "$SET10" <<'PY'
+import json, sys
+src, dst = sys.argv[1], sys.argv[2]
+d = json.load(open(f"{src}/annotations/instances_train.json"))
+imgs = sorted(d["images"], key=lambda im: im["id"])[: len(d["images"]) // 2]
+keep = {im["id"] for im in imgs}
+anns = [a for a in d["annotations"] if a["image_id"] in keep]
+json.dump({**d, "images": imgs, "annotations": anns},
+          open(f"{dst}/annotations/instances_train.json", "w"))
+print(f"10k view: {len(imgs)} images, {len(anns)} annotations")
+PY
+  cp "$SET20/annotations/models_info.json" "$SET10/annotations/"
+  for s in val valmid; do
+    cp "$SET20/annotations/instances_$s.json" "$SET10/annotations/" 2>/dev/null || true
+    ln -sfn "$SET20/images/$s" "$SET10/images/$s"
+  done
+  ln -sfn "$SET20/images/train" "$SET10/images/train"
+fi
+
+# ---- prestage decoded chunks for the arms (host-side, no chip) --------------
 FINAL_RUN=${FINAL_RUN:-$DATA/final2}
-mkdir -p "$DATA/density_20k" "$DATA/density_40k"
+mkdir -p "$DATA/density_10k" "$DATA/density_20k"
 for f in "$FINAL_RUN"/device_cache_c*.npz; do
   [ -f "$f" ] || continue
   ln -f "$f" "$DATA/density_20k/$(basename "$f")" 2>/dev/null \
     || cp -n "$f" "$DATA/density_20k/" 2>/dev/null || true
 done
-if [ ! -f "$DATA/density_40k/device_cache_c7.npz" ] \
-   && [ -f "$SET40/annotations/train_done" ]; then
+if [ ! -f "$DATA/density_10k/device_cache_c1.npz" ]; then
+  echo "[density $(stamp)] prestaging 10k chunks"
+  python tools/prestage_chunks.py "$SET10" "$DATA/density_10k" \
+    --cache-frames 5000 --seed 0 >> "$EVIDENCE/prestage10.log" 2>&1 \
+    || echo "[density $(stamp)] WARNING: 10k prestage failed"
+fi
+if [ -f "$SET40/annotations/train_done" ] \
+   && [ ! -f "$DATA/density_40k/device_cache_c7.npz" ]; then
+  mkdir -p "$DATA/density_40k"
   echo "[density $(stamp)] prestaging 40k chunks"
   python tools/prestage_chunks.py "$SET40" "$DATA/density_40k" \
     --cache-frames 5000 --seed 0 >> "$EVIDENCE/prestage40.log" 2>&1 \
     || echo "[density $(stamp)] WARNING: 40k prestage failed"
 fi
 
-[ "${RENDER_ONLY:-0}" = "1" ] && { echo "[density $(stamp)] render done"; exit 0; }
+[ "${RENDER_ONLY:-0}" = "1" ] && { echo "[density $(stamp)] render/prep done"; exit 0; }
 
 [ -n "$CKPT" ] || { echo "[density] set CKPT=<warm-start checkpoint>"; exit 1; }
 
@@ -87,7 +110,7 @@ run_arm() {  # name data_root
     --batch-size 16 --epochs "$EPOCHS" --lr "$LR" \
     --warmup-epochs 1 --cosine-decay --head-l2 0 \
     --no-freeze-stem --augment-geometric-only \
-    --device-cache --device-cache-frames 5000 --device-cache-rotate 2 \
+    --device-cache --device-cache-frames 5000 --device-cache-rotate 4 \
     --device-cache-prefetch \
     --snapshot "$CKPT" --snapshot-path "$run" \
     --save-epochs "$EPOCHS" --keep-checkpoints 2 \
@@ -107,6 +130,7 @@ run_arm() {  # name data_root
   cp -f "$run/metrics.jsonl" "$EVIDENCE/metrics_$name.jsonl" 2>/dev/null
 }
 
+run_arm 10k "$SET10"
 run_arm 20k "$SET20"
-run_arm 40k "$SET40"
-echo "[density $(stamp)] done — compare corner_{20k,40k}_val.txt and recall_*_valmid.json"
+[ -f "$DATA/density_40k/device_cache_c7.npz" ] && run_arm 40k "$SET40"
+echo "[density $(stamp)] done — compare corner_{10k,20k}_val.txt and recall_*_valmid.json"
