@@ -164,8 +164,14 @@ fi
 python tools/report_run.py "$RUN" > "$OUT/report_run.md" 2>&1
 
 # --- 6. fresh bench on the idle chip ---------------------------------------
-echo "[endgame] bench.py"
-BENCH_BUDGET_S=2000 timeout 2400 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
+# skippable when the round already has a committed all-arm bench and the
+# chip time is needed elsewhere (touch /tmp/skip_endgame_bench)
+if [ "${SKIP_ENDGAME_BENCH:-0}" = "1" ] || [ -f /tmp/skip_endgame_bench ]; then
+  echo "[endgame] bench skipped (sentinel/env)"
+else
+  echo "[endgame] bench.py"
+  BENCH_BUDGET_S=2000 timeout 2400 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.log"
+fi
 
 echo "$CKPT" > "$OUT/CKPT"
 date -u +%FT%TZ > "$OUT/DONE"
