@@ -115,7 +115,14 @@ run_arm() {  # name data_root
     --snapshot "$CKPT" --snapshot-path "$run" \
     --save-epochs "$EPOCHS" --keep-checkpoints 2 \
     --stall-timeout 1200 \
-    > "$EVIDENCE/train_$name.log" 2>&1
+    > "$EVIDENCE/train_$name.log" 2>&1 &
+  local tpid=$!
+  # register with the bench quiesce protocol (bench.py sends STOP to
+  # {snapshot_path}/STOP of the pid in /tmp/bigrun.pid): a round-end
+  # driver bench then gracefully stops the arm instead of contending
+  echo "$tpid" > /tmp/bigrun.pid
+  echo "$run" > /tmp/bigrun.run
+  wait "$tpid"
   local ck
   ck=$(ls -d "$run"/step_* 2>/dev/null | sort | tail -1)
   echo "[density $(stamp)] arm $name eval: $ck"
