@@ -132,29 +132,29 @@ class TestRssRestart:
         assert rss > 0.001  # a live CPython process is at least a few MB
 
     def test_supervisor_relaunches_on_restart_without_burning_retries(
-        self, monkeypatch, capsys
+        self, tmp_path, capfd
     ):
-        from pyrapose_tpu.cli import main as cli_main
-        from pyrapose_tpu.watchdog import EXIT_RESTART
+        """Two voluntary rc=18 exits then a clean exit — with retries=0 the
+        pre-r2 behavior would give up on the first rc=18. Runs real child
+        processes through pyrapose_tpu.supervise (the Popen-based r4
+        supervisor; the old subprocess.call monkeypatch no longer
+        intercepts anything)."""
+        import sys
 
-        calls = []
-        # two voluntary restarts, then a clean exit — with retries=0 the
-        # old behavior would give up on the first rc=18
-        rcs = iter([EXIT_RESTART, EXIT_RESTART, 0])
+        from pyrapose_tpu.supervise import run_supervised
 
-        def fake_call(cmd):
-            calls.append(cmd)
-            return next(rcs)
-
-        import subprocess
-
-        # _run_supervised does `import subprocess` at call time, so patching
-        # the module attribute intercepts the child launch
-        monkeypatch.setattr(subprocess, "call", fake_call)
-        rc = cli_main._run_supervised(["train", "synthetic"], retries=0)
+        counter = tmp_path / "n"
+        code = (
+            "import os, sys\n"
+            f"p = {str(counter)!r}\n"
+            "n = int(open(p).read()) if os.path.exists(p) else 0\n"
+            "open(p, 'w').write(str(n + 1))\n"
+            "sys.exit(18 if n < 2 else 0)\n"
+        )
+        rc = run_supervised([sys.executable, "-c", code], retries=0)
         assert rc == 0
-        assert len(calls) == 3
-        assert "requested restart" in capsys.readouterr().out
+        assert int(counter.read_text()) == 3  # two relaunches happened
+        assert "requested restart" in capfd.readouterr().out
 
     def test_train_loop_saves_and_exits_18_when_over_limit(self, tmp_path):
         """A multi-epoch synthetic run with an impossibly small limit must
